@@ -1,0 +1,262 @@
+"""Shared decoder infrastructure: configs, KV-cache pytrees, masks, RoPE.
+
+The decode state is an explicit pytree (KVCache) threaded through forward —
+the TPU-native replacement for HF's stateful past_key_values + the
+reference's stateful layer conditioning (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Architecture config covering the reference's supported LM families
+    (open_flamingo/src/factory.py:132-141): mpt, gptneox (Pythia /
+    RedPajama-INCITE), llama, opt, gptj."""
+
+    family: str
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    intermediate_size: int
+    num_kv_heads: Optional[int] = None  # GQA (llama); None -> num_heads
+    max_position_embeddings: int = 2048
+    layer_norm_eps: float = 1e-5
+    # rotary
+    rotary_pct: float = 1.0          # gptneox partial rotary
+    rotary_dim: Optional[int] = None  # gptj explicit rotary dim
+    rope_theta: float = 10000.0
+    # family quirks
+    use_parallel_residual: bool = True   # gptneox / gptj
+    alibi: bool = False                  # mpt
+    alibi_bias_max: float = 8.0
+    clip_qkv: Optional[float] = None     # mpt
+    attention_bias: bool = True          # gptneox has biases, mpt/llama not
+    tie_word_embeddings: bool = True
+    hidden_act: str = "gelu"             # llama: silu
+    # mosaicml "mosaic_gpt" variants (OF-3B MPT-1B checkpoint) use LN
+    # without bias; HF MptBlock also strips LN biases.
+    ln_no_bias: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+
+@struct.dataclass
+class LayerKV:
+    k: jax.Array  # (B, S_max, H_kv, Dh)
+    v: jax.Array  # (B, S_max, H_kv, Dh)
+
+
+@struct.dataclass
+class KVCache:
+    """Decode-state pytree. `index` is the number of slots already filled;
+    `pad_mask` marks valid (non-pad, written) key slots over S_max."""
+
+    layers: Tuple[LayerKV, ...]
+    index: jax.Array      # scalar int32
+    pad_mask: jax.Array   # (B, S_max) bool
+
+    @property
+    def max_length(self) -> int:
+        return self.layers[0].k.shape[1]
+
+    @staticmethod
+    def create(
+        cfg: DecoderConfig, batch: int, max_length: int, dtype: Dtype = jnp.float32
+    ) -> "KVCache":
+        layer = LayerKV(
+            k=jnp.zeros((batch, max_length, cfg.kv_heads, cfg.head_dim), dtype),
+            v=jnp.zeros((batch, max_length, cfg.kv_heads, cfg.head_dim), dtype),
+        )
+        return KVCache(
+            layers=tuple(layer for _ in range(cfg.num_layers)),
+            index=jnp.zeros((), jnp.int32),
+            pad_mask=jnp.zeros((batch, max_length), bool),
+        )
+
+
+@struct.dataclass
+class AttnInputs:
+    """Per-forward attention context shared by every layer.
+
+    mask:         (B, 1, Tq, Tk) bool, True = attend.
+    position_ids: (B, Tq) int32 absolute positions (rotary / learned-pos).
+    kv_slot:      scalar int32 — slot where this call's K/V are written
+                  (0 for prefill / cache-free forward).
+    kv_len:       static length of the key axis for this call.
+    """
+
+    mask: jax.Array
+    position_ids: jax.Array
+    kv_slot: jax.Array
+    kv_len: int = struct.field(pytree_node=False)
+
+
+def position_ids_from_mask(attention_mask: jax.Array) -> jax.Array:
+    """Left-padding-safe absolute positions: cumsum(mask)-1, clipped to 0.
+    Matches the HF convention used by the eval harness's left-padded
+    generation (open_flamingo/eval/models/open_flamingo.py:57)."""
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(pos, 0)
+
+
+def make_attn_inputs(
+    attention_mask: jax.Array,
+    *,
+    cache: Optional[KVCache] = None,
+) -> Tuple[AttnInputs, Optional[KVCache]]:
+    """Build attention context for a forward call.
+
+    attention_mask: (B, Tq) 1/0 over the *current* tokens. When `cache` is
+    given, its pad_mask covers previously-written slots; current tokens are
+    appended at slots [index, index+Tq).
+    """
+    b, tq = attention_mask.shape
+    am = attention_mask.astype(bool)
+    if cache is None:
+        kv_len = tq
+        q_pos = position_ids_from_mask(attention_mask)
+        causal = (
+            jax.lax.broadcasted_iota(jnp.int32, (tq, kv_len), 0)
+            >= jax.lax.broadcasted_iota(jnp.int32, (tq, kv_len), 1)
+        )
+        mask = causal[None, None] & am[:, None, None, :]
+        return (
+            AttnInputs(
+                mask=mask,
+                position_ids=q_pos,
+                kv_slot=jnp.zeros((), jnp.int32),
+                kv_len=kv_len,
+            ),
+            None,
+        )
+
+    s_max = cache.max_length
+    idx = cache.index
+    # write current tokens' validity into the cache pad mask
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s_max), 1)
+    in_window = (slot_ids >= idx) & (slot_ids < idx + tq)
+    # value for slot idx+i is attention_mask[:, i]
+    gathered = jnp.take_along_axis(
+        jnp.pad(am, ((0, 0), (0, s_max))),
+        jnp.clip(slot_ids - idx, 0, tq - 1 + s_max),
+        axis=1,
+    )
+    new_pad_mask = jnp.where(in_window, gathered, cache.pad_mask)
+
+    # absolute positions: number of valid tokens before each current token
+    prev_valid = jnp.sum(cache.pad_mask.astype(jnp.int32), axis=-1, keepdims=True)
+    q_pos = prev_valid + jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    q_pos = jnp.maximum(q_pos, 0)
+
+    # causal over slots: key slot j visible to query i iff j < idx + i + 1
+    q_slot = idx + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+    k_slot = jax.lax.broadcasted_iota(jnp.int32, (1, s_max), 1)
+    causal = k_slot <= q_slot  # (tq, s_max)
+    mask = causal[None, None] & new_pad_mask[:, None, None, :]
+
+    new_cache = cache.replace(pad_mask=new_pad_mask)
+    return (
+        AttnInputs(mask=mask, position_ids=q_pos, kv_slot=idx, kv_len=s_max),
+        new_cache,
+    )
+
+
+def update_layer_kv(
+    layer_kv: Optional[LayerKV], k: jax.Array, v: jax.Array, attn: AttnInputs
+) -> Tuple[jax.Array, jax.Array, Optional[LayerKV]]:
+    """Write new K/V at the cache slot; return full key/value arrays."""
+    if layer_kv is None:
+        return k, v, None
+    k_full = jax.lax.dynamic_update_slice(
+        layer_kv.k, k.astype(layer_kv.k.dtype), (0, attn.kv_slot, 0, 0)
+    )
+    v_full = jax.lax.dynamic_update_slice(
+        layer_kv.v, v.astype(layer_kv.v.dtype), (0, attn.kv_slot, 0, 0)
+    )
+    return k_full, v_full, LayerKV(k=k_full, v=v_full)
+
+
+# --- rotary embeddings (HF-compatible) ------------------------------------
+
+
+def rope_cos_sin(
+    position_ids: jax.Array, rotary_dim: int, theta: float
+) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables, HF layout: emb = concat(freqs, freqs).
+
+    position_ids: (B, T) -> cos/sin (B, T, rotary_dim), fp32.
+    """
+    inv_freq = 1.0 / (
+        theta
+        ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+    )
+    freqs = position_ids[..., None].astype(jnp.float32) * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(
+    q: jax.Array,
+    k: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply (possibly partial) rotary embedding.
+
+    q/k: (B, T, H, Dh); cos/sin: (B, T, rotary_dim). The first rotary_dim
+    channels are rotated, the rest pass through (HF apply_rotary_pos_emb).
+    """
+    rd = cos.shape[-1]
+    cos = cos[:, :, None, :].astype(q.dtype)
+    sin = sin[:, :, None, :].astype(q.dtype)
+
+    def rot(x):
+        x_rot, x_pass = x[..., :rd], x[..., rd:]
+        x_rot = x_rot * cos + _rotate_half(x_rot) * sin
+        return jnp.concatenate([x_rot, x_pass], axis=-1) if x_pass.shape[-1] else x_rot
+
+    return rot(q), rot(k)
+
+
+def alibi_slopes(num_heads: int, bias_max: float = 8.0) -> jnp.ndarray:
+    """MPT-style ALiBi slopes (HF build_mpt_alibi_tensor semantics)."""
+    import math
+
+    p = 2 ** math.ceil(math.log2(num_heads))
+    base = jnp.arange(1, p + 1, dtype=jnp.float32) * (bias_max / p)
+    slopes = 1.0 / jnp.power(2.0, base)
+    if p != num_heads:
+        slopes = jnp.concatenate([slopes[1::2], slopes[::2]])[:num_heads]
+    return slopes
+
+
+def alibi_bias(num_heads: int, kv_len: int, bias_max: float = 8.0) -> jax.Array:
+    """(1, H, 1, kv_len) additive bias: slope_h * (j - (kv_len - 1)).
+
+    Key-position-only form — matches HF MPT (translation invariance of
+    softmax), and is what makes ALiBi free during cached decode."""
+    slopes = alibi_slopes(num_heads, bias_max)
+    dist = jnp.arange(1 - kv_len, 1, dtype=jnp.float32)
+    return (slopes[:, None, None] * dist[None, None, :])[None]

@@ -1,0 +1,103 @@
+"""Shared neural building blocks (Flax linen).
+
+TPU-first conventions used throughout the framework:
+  * params live in fp32 (`param_dtype`), compute runs in `dtype`
+    (bf16 on TPU, fp32 for parity tests) — the canonical TPU mixed
+    precision recipe (reference keeps fp32 params w/ bf16 reduce,
+    open_flamingo/train/train.py:317-326).
+  * attention softmax always in fp32.
+  * no dynamic shapes; masks are computed with broadcasted iota.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch.nn.LayerNorm default eps — flax defaults to 1e-6, which breaks
+# checkpoint parity with the reference stack.
+LN_EPS = 1e-5
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU, matching torch.nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """LayerNorm -> Dense(mult*dim, no bias) -> GELU -> Dense(dim, no bias).
+
+    Mirrors the reference FeedForward (open_flamingo/src/helpers.py:15-22).
+    """
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = int(self.dim * self.mult)
+        x = nn.LayerNorm(
+            epsilon=LN_EPS, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"
+        )(x)
+        x = nn.Dense(
+            inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fc1",
+        )(x)
+        x = gelu_exact(x)
+        x = nn.Dense(
+            self.dim, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fc2",
+        )(x)
+        return x
+
+
+def attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    zero_rows: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference scaled-dot-product attention core (einsum path).
+
+    q: (..., Tq, H, Dh) pre-scaled by caller; k/v: (..., Tk, H, Dh).
+    bias: broadcastable to (..., H, Tq, Tk), added to logits.
+    mask: bool broadcastable to (..., H, Tq, Tk); False -> masked out.
+    zero_rows: bool broadcastable to (..., H, Tq, 1); True -> output row
+        forced to zero AFTER softmax (reference semantics for text with no
+        preceding media, open_flamingo/src/helpers.py:223-229).
+
+    Softmax in fp32 with max-subtraction. Fully-masked rows produce a
+    uniform distribution (matching torch masked_fill(-max) + softmax).
+    """
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k).astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask, logits, neg)
+    logits = logits - jax.lax.stop_gradient(logits.max(axis=-1, keepdims=True))
+    probs = jax.nn.softmax(logits, axis=-1)
+    if zero_rows is not None:
+        probs = jnp.where(zero_rows, 0.0, probs)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", probs, v)
+
+
+def split_heads(x: jax.Array, heads: int) -> jax.Array:
+    """(..., T, H*Dh) -> (..., T, H, Dh)."""
+    return x.reshape(*x.shape[:-1], heads, x.shape[-1] // heads)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(..., T, H, Dh) -> (..., T, H*Dh)."""
+    return x.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1])

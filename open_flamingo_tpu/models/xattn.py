@@ -1,0 +1,156 @@
+"""Gated cross-attention: text queries attend to media latents.
+
+Capability parity with open_flamingo/src/helpers.py:136-279, re-designed
+functionally: instead of the reference's stateful `condition_*` attributes
+(open_flamingo/src/flamingo_lm.py:30-37), the media latents and the
+per-token media time (`text_time`) are explicit arguments threaded through
+the decoder.
+
+Media-time masking semantics (open_flamingo/src/helpers.py:196-229):
+  * media_time[j] = j + 1 for the j-th image (1-indexed).
+  * text_time[i]  = cumsum(media_locations)[i] for a full forward, or the
+    total number of cached media for decode steps (`use_cached_media`).
+  * attend iff text_time == media_time ("immediate" mode, default) or
+    text_time >= media_time ("all previous" mode).
+  * in immediate mode, text positions with text_time == 0 (no preceding
+    image) get their attention output zeroed AFTER softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import LN_EPS, FeedForward, attend, merge_heads, split_heads
+
+Dtype = Any
+
+
+def media_time_from_locations(media_locations: jax.Array) -> jax.Array:
+    """text_time for a full forward: cumulative count of media tokens.
+
+    media_locations: (B, T_txt) bool -> (B, T_txt) int32.
+    """
+    return jnp.cumsum(media_locations.astype(jnp.int32), axis=-1)
+
+
+def cached_media_text_time(
+    media_locations: jax.Array, t_txt: int
+) -> jax.Array:
+    """text_time for decode steps: every position attends as if it follows
+    the last cached image (open_flamingo/src/helpers.py:199-205)."""
+    count = jnp.sum(media_locations.astype(jnp.int32), axis=-1, keepdims=True)
+    return jnp.broadcast_to(count, (media_locations.shape[0], t_txt))
+
+
+class MaskedCrossAttention(nn.Module):
+    """Text -> media-latents cross attention with media-time masking."""
+
+    dim: int
+    dim_visual: int
+    dim_head: int = 64
+    heads: int = 8
+    only_attend_immediate_media: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        media: jax.Array,
+        text_time: jax.Array,
+    ) -> jax.Array:
+        """
+        x:         (B, T_txt, D_txt) text features
+        media:     (B, T_img, n_latents, D_vis)
+        text_time: (B, T_txt) int — media-time index of each text position.
+        """
+        b, t_img, n_lat, _ = media.shape
+        inner = self.dim_head * self.heads
+        dense = dict(use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype)
+
+        x = nn.LayerNorm(
+            epsilon=LN_EPS, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"
+        )(x)
+        q = nn.Dense(inner, **dense, name="to_q")(x)
+        media_flat = media.reshape(b, t_img * n_lat, media.shape[-1])
+        kv = nn.Dense(inner * 2, **dense, name="to_kv")(media_flat)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = split_heads(q, self.heads) * (self.dim_head**-0.5)
+        k = split_heads(k, self.heads)
+        v = split_heads(v, self.heads)
+
+        # media_time per flattened K/V position: image j (0-based) -> j+1
+        media_time = (
+            jax.lax.broadcasted_iota(jnp.int32, (t_img, n_lat), 0).reshape(-1) + 1
+        )
+        tt = text_time[:, None, :, None]          # (B, 1, T_txt, 1)
+        mt = media_time[None, None, None, :]      # (1, 1, 1, T_img*n)
+        if self.only_attend_immediate_media:
+            mask = tt == mt
+            zero_rows = (text_time == 0)[:, None, :, None]
+        else:
+            mask = tt >= mt
+            zero_rows = None
+
+        out = attend(q, k, v, mask=mask, zero_rows=zero_rows)
+        out = merge_heads(out)
+        return nn.Dense(self.dim, **dense, name="to_out")(out)
+
+
+class GatedCrossAttentionBlock(nn.Module):
+    """x = xattn(x)*tanh(g_attn) + x; x = ff(x)*tanh(g_ff) + x.
+
+    Gates init to 0 so the wrapped LM is untouched at init
+    (open_flamingo/src/helpers.py:236-279).
+    """
+
+    dim: int
+    dim_visual: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    only_attend_immediate_media: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        media: jax.Array,
+        text_time: jax.Array,
+    ) -> jax.Array:
+        attn_gate = self.param(
+            "attn_gate", nn.initializers.zeros, (1,), self.param_dtype
+        ).astype(self.dtype)
+        ff_gate = self.param(
+            "ff_gate", nn.initializers.zeros, (1,), self.param_dtype
+        ).astype(self.dtype)
+
+        attn_out = MaskedCrossAttention(
+            dim=self.dim,
+            dim_visual=self.dim_visual,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            only_attend_immediate_media=self.only_attend_immediate_media,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(x, media, text_time)
+        x = attn_out * jnp.tanh(attn_gate) + x
+
+        ff_out = FeedForward(
+            dim=self.dim,
+            mult=self.ff_mult,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="ff",
+        )(x)
+        x = ff_out * jnp.tanh(ff_gate) + x
+        return x
