@@ -1,0 +1,274 @@
+"""Autoregressive generation over the explicit KVCache: greedy, sampling,
+and beam search.
+
+Capability parity with the HF generate() kwargs the reference exercises
+(open_flamingo/eval/models/open_flamingo.py:140-148: num_beams,
+length_penalty, min/max_new_tokens, eos=<|endofchunk|>; src/flamingo.py:
+124-175), built as compiled lax.scan loops with static shapes.
+
+Vision is encoded exactly once; every decode step attends to the cached
+media via the cached-media text-time rule (flamingo_lm.py:142-151).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .models.decoders.common import KVCache
+from .models.flamingo import Flamingo, count_media
+
+NEG_INF = jnp.float32(-1.0e7)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int
+    min_new_tokens: int = 0
+    num_beams: int = 1
+    length_penalty: float = 1.0
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    eos_token_id: Optional[int] = None
+    pad_token_id: int = 0
+
+
+# StepFn: (tokens (N,1), mask (N,1), cache) -> (logits (N,1,V), cache)
+StepFn = Callable[[jax.Array, jax.Array, KVCache], Tuple[jax.Array, KVCache]]
+
+
+def _process_logits(
+    logits: jax.Array, step: jax.Array, cfg: GenerationConfig
+) -> jax.Array:
+    """min_new_tokens: forbid EOS before the minimum length."""
+    if cfg.eos_token_id is not None and cfg.min_new_tokens > 0:
+        forbid = step < cfg.min_new_tokens
+        eos_mask = jnp.zeros((logits.shape[-1],), bool).at[cfg.eos_token_id].set(True)
+        logits = jnp.where(forbid & eos_mask[None, :], NEG_INF, logits)
+    return logits
+
+
+def _sample_token(
+    logits: jax.Array, rng: jax.Array, cfg: GenerationConfig
+) -> jax.Array:
+    if not cfg.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    if cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep smallest set with cumulative prob >= top_p (incl. first over)
+        cutoff_idx = jnp.sum((cum < cfg.top_p).astype(jnp.int32), axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, NEG_INF, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def greedy_or_sample(
+    step_fn: StepFn,
+    first_logits: jax.Array,
+    cache: KVCache,
+    cfg: GenerationConfig,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scan decode loop. first_logits: (B, V) logits at the last prompt
+    position. Returns generated ids (B, max_new_tokens), pad-filled after
+    EOS."""
+    b = first_logits.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def body(carry, _):
+        logits, cache, finished, step, rng = carry
+        rng, sub = jax.random.split(rng)
+        logits = _process_logits(logits, step, cfg)
+        tok = _sample_token(logits, sub, cfg)
+        if cfg.eos_token_id is not None:
+            tok = jnp.where(finished, cfg.pad_token_id, tok)
+            finished = finished | (tok == cfg.eos_token_id)
+        new_logits, cache = step_fn(tok[:, None], jnp.ones((b, 1), jnp.int32), cache)
+        return (new_logits[:, 0], cache, finished, step + 1, rng), tok
+
+    init = (first_logits, cache, jnp.zeros((b,), bool), jnp.zeros((), jnp.int32), rng)
+    _, tokens = jax.lax.scan(body, init, None, length=cfg.max_new_tokens)
+    return tokens.T  # (B, max_new_tokens)
+
+
+# --- beam search -----------------------------------------------------------
+
+
+def _gather_beams(tree, indices, batch, beams):
+    """Gather along the beam axis of arrays shaped (batch*beams, ...)."""
+
+    def g(x):
+        if not hasattr(x, "shape") or x.ndim == 0 or x.shape[0] != batch * beams:
+            return x
+        xr = x.reshape(batch, beams, *x.shape[1:])
+        idx = indices.reshape(batch, beams, *([1] * (x.ndim - 1)))
+        out = jnp.take_along_axis(xr, idx, axis=1)
+        return out.reshape(batch * beams, *x.shape[1:])
+
+    return jax.tree.map(g, tree)
+
+
+def beam_search(
+    step_fn: StepFn,
+    first_logits: jax.Array,
+    cache: KVCache,
+    cfg: GenerationConfig,
+) -> jax.Array:
+    """Standard length-penalized beam search (HF semantics: hypothesis
+    score = sum logprob / len**length_penalty at EOS or max length).
+
+    first_logits: (B*K, V) — prompt already replicated beam-major
+    (batch b's beams at rows b*K..b*K+K-1), as is the cache.
+    Returns (B, max_new_tokens) best sequences.
+    """
+    k = cfg.num_beams
+    bk, vocab = first_logits.shape
+    b = bk // k
+    eos = cfg.eos_token_id
+    L = cfg.max_new_tokens
+
+    # live beam scores: beam 0 starts at 0, others -inf (identical prefixes)
+    live_scores = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None], (b, 1)
+    )
+    live_seqs = jnp.full((b, k, L), cfg.pad_token_id, jnp.int32)
+    fin_scores = jnp.full((b, k), NEG_INF)
+    fin_seqs = jnp.full((b, k, L), cfg.pad_token_id, jnp.int32)
+
+    def body(carry, _):
+        logits, cache, live_scores, live_seqs, fin_scores, fin_seqs, step = carry
+        logits = _process_logits(logits, step, cfg)
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logprobs = logprobs.reshape(b, k, vocab)
+        cand = live_scores[:, :, None] + logprobs  # (b, k, V)
+        flat = cand.reshape(b, k * vocab)
+
+        # top 2k so EOS picks don't starve the live set
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)
+        top_beam = top_idx // vocab          # (b, 2k)
+        top_tok = top_idx % vocab
+
+        seq_len = step + 1
+        new_seqs = jnp.take_along_axis(live_seqs, top_beam[:, :, None], axis=1)
+        new_seqs = jnp.where(
+            (jnp.arange(L)[None, None, :] == step), top_tok[:, :, None], new_seqs
+        )
+
+        if eos is not None:
+            is_eos = top_tok == eos
+            # finished hypotheses: apply length penalty
+            lp = seq_len.astype(jnp.float32) ** cfg.length_penalty
+            cand_fin_scores = jnp.where(is_eos, top_scores / lp, NEG_INF)
+            all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
+            all_fin_seqs = jnp.concatenate([fin_seqs, new_seqs], axis=1)
+            fin_top, fin_idx = jax.lax.top_k(all_fin_scores, k)
+            fin_scores = fin_top
+            fin_seqs = jnp.take_along_axis(all_fin_seqs, fin_idx[:, :, None], axis=1)
+            # live: mask out EOS candidates, take top k
+            live_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        else:
+            live_cand_scores = top_scores
+
+        live_top, live_idx = jax.lax.top_k(live_cand_scores, k)
+        live_scores = live_top
+        live_seqs = jnp.take_along_axis(new_seqs, live_idx[:, :, None], axis=1)
+        chosen_beam = jnp.take_along_axis(top_beam, live_idx, axis=1)  # (b, k)
+        chosen_tok = jnp.take_along_axis(top_tok, live_idx, axis=1)
+
+        cache = _gather_beams(cache, chosen_beam, b, k)
+        new_logits, cache = step_fn(
+            chosen_tok.reshape(bk, 1), jnp.ones((bk, 1), jnp.int32), cache
+        )
+        return (
+            new_logits[:, 0],
+            cache,
+            live_scores,
+            live_seqs,
+            fin_scores,
+            fin_seqs,
+            step + 1,
+        ), None
+
+    init = (
+        first_logits,
+        cache,
+        live_scores,
+        live_seqs,
+        fin_scores,
+        fin_seqs,
+        jnp.zeros((), jnp.int32),
+    )
+    (logits, cache, live_scores, live_seqs, fin_scores, fin_seqs, _), _ = (
+        jax.lax.scan(body, init, None, length=L)
+    )
+
+    # finalize: live beams count as hypotheses at max length
+    lp = jnp.float32(L) ** cfg.length_penalty
+    all_scores = jnp.concatenate([fin_scores, live_scores / lp], axis=1)
+    all_seqs = jnp.concatenate([fin_seqs, live_seqs], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    return jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
+
+
+# --- Flamingo front-end ----------------------------------------------------
+
+
+def flamingo_generate(
+    model: Flamingo,
+    params,
+    vision_x: jax.Array,
+    lang_x: jax.Array,
+    attention_mask: jax.Array,
+    cfg: GenerationConfig,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """End-to-end generation mirroring Flamingo.generate
+    (open_flamingo/src/flamingo.py:124-175): encode vision once, replicate
+    per beam, prefill, decode with cached media. Returns generated ids
+    (B, max_new_tokens) (prompt not included)."""
+    b, t = lang_x.shape
+    k = cfg.num_beams
+    cache_len = t + cfg.max_new_tokens
+
+    latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
+    n_media = count_media(lang_x, model.cfg.media_token_id)
+
+    if k > 1:
+        latents = jnp.repeat(latents, k, axis=0)
+        lang_x = jnp.repeat(lang_x, k, axis=0)
+        attention_mask = jnp.repeat(attention_mask, k, axis=0)
+        n_media = jnp.repeat(n_media, k, axis=0)
+
+    cache = KVCache.create(model.cfg.lm, lang_x.shape[0], cache_len)
+    logits, _, cache = model.apply(
+        params, None, lang_x, attention_mask, media_latents=latents, cache=cache
+    )
+    first_logits = logits[:, -1]
+
+    def step_fn(tok, mask, cache):
+        return model.apply(
+            params,
+            latents,
+            tok,
+            mask,
+            cache,
+            n_media,
+            method=Flamingo.decode_step,
+        )
+
+    if k > 1:
+        return beam_search(step_fn, first_logits, cache, cfg)
+    return greedy_or_sample(step_fn, first_logits, cache, cfg, rng)
