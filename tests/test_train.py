@@ -1,0 +1,142 @@
+"""Training-step tests: label masking truth vs a loop transcription of the
+reference semantics, frozen/trainable partition, loss decrease, NaN skip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_flamingo_tpu.train.losses import (
+    IGNORE,
+    mask_labels_interleaved,
+    mask_labels_paired,
+)
+from open_flamingo_tpu.train.optimizer import (
+    OptimizerConfig,
+    is_trainable,
+    make_optimizer,
+    split_params,
+)
+from open_flamingo_tpu.train.train_loop import (
+    TrainLoopConfig,
+    TrainState,
+    make_train_step,
+)
+
+from test_flamingo import EOC, MEDIA, PAD, VOCAB, tiny_flamingo
+
+B = 2
+
+
+def ref_mask_interleaved(ids, pad_id, media_id, eoc_id):
+    """Direct loop transcription of train_utils.py:127-149 semantics."""
+    labels = ids.copy()
+    labels[labels == pad_id] = IGNORE
+    for i in range(labels.shape[0]):
+        j = 0
+        while j < labels.shape[1] and labels[i, j] != media_id:
+            labels[i, j] = IGNORE
+            j += 1
+        for e in np.where(labels[i] == eoc_id)[0]:
+            k = e + 1
+            while k < labels.shape[1] and labels[i, k] != media_id:
+                labels[i, k] = IGNORE
+                k += 1
+    labels[labels == media_id] = IGNORE
+    return labels
+
+
+def test_mask_labels_interleaved_matches_reference_loops(rng):
+    for _ in range(20):
+        ids = rng.integers(0, 12, size=(3, 24))
+        # sprinkle special tokens
+        want = ref_mask_interleaved(ids.copy(), PAD, MEDIA, EOC)
+        got = np.asarray(
+            mask_labels_interleaved(jnp.asarray(ids), PAD, MEDIA, EOC)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_mask_labels_paired():
+    ids = np.array([[PAD, MEDIA, 9, 8, EOC, PAD]])
+    got = np.asarray(mask_labels_paired(jnp.asarray(ids), PAD, MEDIA))
+    np.testing.assert_array_equal(got, [[IGNORE, IGNORE, 9, 8, EOC, IGNORE]])
+
+
+def _setup(rng):
+    model = tiny_flamingo()
+    vision_x = jnp.asarray(rng.normal(size=(B, 2, 1, 14, 14, 3)), jnp.float32)
+    ids = rng.integers(7, VOCAB, size=(B, 12))
+    ids[:, 0] = MEDIA
+    ids[:, 5] = EOC
+    ids[:, 6] = MEDIA
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+    variables = model.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    batch = {"vision_x": vision_x, "input_ids": ids, "attention_mask": mask}
+    return model, variables, batch
+
+
+def test_trainable_partition(rng):
+    model, variables, _ = _setup(rng)
+    train, frozen = split_params(variables)
+    names = ["/".join(k) for k in train]
+    assert any("perceiver" in n for n in names)
+    assert any("xattn_" in n for n in names)
+    assert any("/wte/" in n for n in names)
+    assert not any("vision_encoder" in n for n in names)
+    assert not any("/blocks_" in n and "xattn" not in n for n in names)
+    fro = ["/".join(k) for k in frozen]
+    assert any("vision_encoder" in n for n in fro)
+
+
+def test_train_step_decreases_loss_and_respects_freezing(rng):
+    model, variables, batch = _setup(rng)
+    train, frozen = split_params(variables)
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=3e-3, warmup_steps=0, weight_decay=0.1),
+        media_token_id=MEDIA,
+        eoc_token_id=EOC,
+    )
+    cfg = TrainLoopConfig(pad_token_id=PAD)
+    step = jax.jit(make_train_step(model, tx, cfg))
+    state = TrainState.create(train, tx)
+
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, frozen, batch, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+    # embedding rows other than MEDIA/EOC must be untouched
+    wte_key = next(k for k in train if k[-2:] == ("wte", "embedding"))
+    before = np.asarray(train[wte_key])
+    after = np.asarray(state.params[wte_key])
+    moved = np.any(np.abs(after - before) > 0, axis=-1)
+    assert moved[MEDIA] and moved[EOC]
+    others = np.ones(len(moved), bool)
+    others[[MEDIA, EOC]] = False
+    assert not moved[others].any()
+
+    # gates must have moved off zero
+    gate_key = next(k for k in train if k[-1] == "attn_gate")
+    assert np.abs(np.asarray(state.params[gate_key])).max() > 0
+
+
+def test_nan_skip(rng):
+    model, variables, batch = _setup(rng)
+    train, frozen = split_params(variables)
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, warmup_steps=0),
+        media_token_id=MEDIA, eoc_token_id=EOC,
+    )
+    step = jax.jit(make_train_step(model, tx, TrainLoopConfig(pad_token_id=PAD)))
+    state = TrainState.create(train, tx)
+    bad = dict(batch, vision_x=batch["vision_x"] * jnp.nan)
+    new_state, metrics = step(state, frozen, bad, batch)
+    assert not np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    # params unchanged
+    for k in state.params:
+        np.testing.assert_array_equal(
+            np.asarray(state.params[k]), np.asarray(new_state.params[k])
+        )
