@@ -10,10 +10,16 @@ its CUDA stack cannot run here (BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: the driver re-runs this every round
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -32,24 +38,31 @@ def main():
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), vision_x, ids, mask)
     )
-    params = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
+    # create zeros on device inside jit — no host->device weight transfer,
+    # and params stay jit *arguments* (never captured constants).
+    params = jax.jit(
+        lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
+    )()
 
     gen_cfg = GenerationConfig(
         max_new_tokens=NEW, pad_token_id=1, eos_token_id=cfg.eoc_token_id
     )
 
-    def run():
-        return flamingo_generate(model, params, vision_x, ids, mask, gen_cfg)
+    jitted = jax.jit(
+        lambda p, vx, i, m: flamingo_generate(model, p, vx, i, m, gen_cfg)
+    )
+    import numpy as np
 
-    jitted = jax.jit(run)
-    jitted().block_until_ready()  # compile + warmup
+    np.asarray(jitted(params, vision_x, ids, mask))  # compile + warmup
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        jitted().block_until_ready()
+        # force a full device->host sync; block_until_ready alone has been
+        # observed to return early over the remote-device tunnel.
+        np.asarray(jitted(params, vision_x, ids, mask))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = sorted(times)[len(times) // 2]
     tokens_per_sec = B * NEW / dt
 
     print(

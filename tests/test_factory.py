@@ -1,0 +1,78 @@
+"""Factory tests: API surface, special-token wiring, local HF checkpoint
+conversion with vocab resize."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_flamingo_tpu.factory import create_model_and_transforms
+from open_flamingo_tpu.models.decoders.common import DecoderConfig
+from open_flamingo_tpu.models.vit import VisionConfig
+
+torch = pytest.importorskip("torch")
+
+TINY_VIS = VisionConfig(
+    image_size=14, patch_size=7, hidden_size=24, num_layers=1, num_heads=2,
+    intermediate_size=32,
+)
+TINY_LM = DecoderConfig(
+    family="mpt", vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+    intermediate_size=64, alibi=True, attention_bias=False, ln_no_bias=True,
+)
+
+
+def test_factory_no_weights():
+    model, params, image_processor, tokenizer = create_model_and_transforms(
+        TINY_VIS, "openai", TINY_LM, cross_attn_every_n_layers=2
+    )
+    assert params is None
+    # appended special ids (reference: resize_token_embeddings after add)
+    assert model.cfg.eoc_token_id == 96
+    assert model.cfg.media_token_id == 97
+    assert model.cfg.lm.vocab_size == 98
+    assert model.cfg.cross_attn_every_n == 2
+    out = image_processor(np.zeros((20, 30, 3), np.uint8))
+    assert out.shape == (14, 14, 3)
+
+
+def test_factory_init_params(rng):
+    model, params, _, _ = create_model_and_transforms(
+        TINY_VIS, "openai", TINY_LM, init_params=True
+    )
+    vision_x = jnp.asarray(rng.normal(size=(1, 1, 1, 14, 14, 3)), jnp.float32)
+    ids = jnp.asarray([[97, 5, 6, 7]], jnp.int32)
+    logits, _, _ = model.apply(params, vision_x, ids, jnp.ones_like(ids))
+    assert logits.shape == (1, 4, 98)
+
+
+def test_factory_local_hf_checkpoint(tmp_path, rng):
+    """Save a tiny HF MPT locally, load via the factory, verify the base
+    LM rows of the embedding and the block weights were grafted."""
+    import transformers
+
+    hf_cfg = transformers.MptConfig(
+        d_model=32, n_heads=4, n_layers=2, vocab_size=96, max_seq_len=64,
+        attn_config=transformers.models.mpt.configuration_mpt.MptAttentionConfig(
+            attn_pdrop=0.0
+        ),
+    )
+    torch.manual_seed(0)
+    hf = transformers.MptForCausalLM(hf_cfg)
+    ckpt = tmp_path / "mpt-tiny"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+
+    model, params, _, tok = create_model_and_transforms(
+        TINY_VIS, "openai", str(ckpt), cross_attn_every_n_layers=1
+    )
+    assert params is not None
+    wte = np.asarray(params["params"]["lm"]["wte"]["embedding"])
+    assert wte.shape[0] == 98  # 96 + eoc + media
+    np.testing.assert_allclose(
+        wte[:96], hf.transformer.wte.weight.detach().numpy(), atol=1e-6
+    )
+    k = np.asarray(params["params"]["lm"]["blocks_0"]["Wqkv"]["kernel"])
+    np.testing.assert_allclose(
+        k, hf.transformer.blocks[0].attn.Wqkv.weight.detach().numpy().T, atol=1e-6
+    )
