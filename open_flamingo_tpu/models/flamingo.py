@@ -41,6 +41,7 @@ class FlamingoConfig:
     perceiver_dim_head: int = 64
     only_attend_immediate_media: bool = True
     freeze_vision: bool = True
+    gradient_checkpointing: bool = False
 
 
 class Flamingo(nn.Module):
@@ -67,6 +68,7 @@ class Flamingo(nn.Module):
             vis_dim=c.vision.hidden_size,
             cross_attn_every_n=c.cross_attn_every_n,
             only_attend_immediate_media=c.only_attend_immediate_media,
+            remat=c.gradient_checkpointing,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

@@ -44,6 +44,9 @@ class FlamingoLM(nn.Module):
     vis_dim: Optional[int] = None
     cross_attn_every_n: Optional[int] = None
     only_attend_immediate_media: bool = True
+    # jax.checkpoint each decoder block + xattn block (the reference's
+    # activation checkpointing, open_flamingo/train/train.py:368-381)
+    remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -85,10 +88,14 @@ class FlamingoLM(nn.Module):
         x = embed(input_ids)
 
         block_cls = BLOCK_REGISTRY[cfg.family]
+        xattn_cls = GatedCrossAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls)
+            xattn_cls = nn.remat(xattn_cls)
         new_layers = []
         for i in range(cfg.num_layers):
             if self.has_xattn(i) and (media is not None):
-                x = GatedCrossAttentionBlock(
+                x = xattn_cls(
                     dim=cfg.hidden_size,
                     dim_visual=self.vis_dim,
                     only_attend_immediate_media=self.only_attend_immediate_media,
