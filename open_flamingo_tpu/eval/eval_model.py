@@ -1,0 +1,213 @@
+"""Eval-model adapters.
+
+Mirrors open_flamingo/eval/eval_model.py (BaseEvalModel ABC) and
+eval/models/open_flamingo.py (the OpenFlamingo adapter): batched
+left-padded generation, per-batch image padding, prompt builders, and
+KV-cached rank classification. The reference's token-by-token
+past_key_values loop (models/open_flamingo.py:286-313) becomes one
+teacher-forced continuation forward over the functional cache — the
+cache is a value, so "uncache_media" is simply not reusing it.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..generation import GenerationConfig, flamingo_generate
+from ..models.decoders.common import KVCache
+from ..models.flamingo import Flamingo, count_media
+
+
+class BaseEvalModel(abc.ABC):
+    """Interface parity with eval/eval_model.py:8-89."""
+
+    @abc.abstractmethod
+    def get_outputs(
+        self,
+        batch_text: List[str],
+        batch_images,
+        min_generation_length: int,
+        max_generation_length: int,
+        num_beams: int,
+        length_penalty: float,
+    ) -> List[str]:
+        ...
+
+    @abc.abstractmethod
+    def get_rank_classifications(
+        self,
+        batch_text: List[str],
+        batch_images,
+        all_class_names: List[str],
+        use_cache: bool,
+        normalize_length: bool,
+    ):
+        ...
+
+    # prompt builders (eval/models/open_flamingo.py:318-334)
+    def get_caption_prompt(self, caption=None) -> str:
+        return f"<image>Output:{caption if caption is not None else ''}{'<|endofchunk|>' if caption is not None else ''}"
+
+    def get_vqa_prompt(self, question, answer=None) -> str:
+        return f"<image>Question:{question} Short answer:{answer if answer is not None else ''}{'<|endofchunk|>' if answer is not None else ''}"
+
+    def get_imagenet_prompt(self, label=None) -> str:
+        return f"<image>Output:{label if label is not None else ''}{'<|endofchunk|>' if label is not None else ''}"
+
+    def get_hateful_memes_prompt(self, text, label=None) -> str:
+        return f"<image>is an image with: '{text}' written on it. Is it hateful? Answer:{label if label is not None else ''}{'<|endofchunk|>' if label is not None else ''}"
+
+
+class OpenFlamingoEvalModel(BaseEvalModel):
+    """JAX Flamingo adapter. batch_images: list (len B) of lists of
+    already-preprocessed (H, W, C) arrays or PIL images."""
+
+    def __init__(self, model: Flamingo, params, image_processor, tokenizer,
+                 max_prompt_tokens: int = 2000):
+        self.model = model
+        self.params = params
+        self.image_processor = image_processor
+        self.tokenizer = tokenizer
+        self.max_prompt_tokens = max_prompt_tokens
+        self._gen_cache = {}
+
+    # --- input prep (models/open_flamingo.py:65-121) -----------------------
+    def _prepare_images(self, batch: List[list]) -> jax.Array:
+        """Pad to per-batch max images: (B, T_img, 1, H, W, C), zero-images
+        for missing slots (models/open_flamingo.py:65-90)."""
+        t_img = max(len(x) for x in batch)
+        imgs0 = self._to_array(batch[0][0])
+        h, w, c = imgs0.shape
+        out = np.zeros((len(batch), t_img, 1, h, w, c), np.float32)
+        for i, row in enumerate(batch):
+            for j, im in enumerate(row):
+                out[i, j, 0] = self._to_array(im)
+        return jnp.asarray(out, self.model.dtype)
+
+    def _to_array(self, im) -> np.ndarray:
+        if isinstance(im, np.ndarray):
+            return im.astype(np.float32)
+        return np.asarray(self.image_processor(im), np.float32)
+
+    def _prepare_text(self, batch_text: List[str]):
+        self.tokenizer.padding_side = "left"
+        t = self.tokenizer(
+            batch_text,
+            padding="longest",
+            truncation=True,
+            max_length=self.max_prompt_tokens,
+            return_tensors="np",
+        )
+        return (
+            jnp.asarray(t["input_ids"], jnp.int32),
+            jnp.asarray(t["attention_mask"], jnp.int32),
+        )
+
+    # --- generation ---------------------------------------------------------
+    def get_outputs(
+        self,
+        batch_text: List[str],
+        batch_images,
+        min_generation_length: int = 0,
+        max_generation_length: int = 20,
+        num_beams: int = 3,
+        length_penalty: float = 0.0,
+    ) -> List[str]:
+        vision_x = self._prepare_images(batch_images)
+        ids, mask = self._prepare_text(batch_text)
+        cfg = GenerationConfig(
+            max_new_tokens=max_generation_length,
+            min_new_tokens=min_generation_length,
+            num_beams=num_beams,
+            length_penalty=length_penalty,
+            eos_token_id=self.model.cfg.eoc_token_id,
+            pad_token_id=getattr(self.tokenizer, "pad_token_id", 0) or 0,
+        )
+        out = flamingo_generate(
+            self.model, self.params, vision_x, ids, mask, cfg
+        )
+        return self.tokenizer.batch_decode(
+            np.asarray(out), skip_special_tokens=True
+        )
+
+    # --- rank classification (models/open_flamingo.py:155-254) -------------
+    def get_rank_classifications(
+        self,
+        batch_text: List[str],
+        batch_images,
+        all_class_names: List[str],
+        use_cache: bool = True,
+        normalize_length: bool = True,
+        class_chunk: int = 16,
+    ) -> np.ndarray:
+        """Returns (B, num_classes) mean (or sum) logprob of each class
+        name continuation given the context."""
+        vision_x = self._prepare_images(batch_images)
+        ids, mask = self._prepare_text(batch_text)
+        b, t_ctx = ids.shape
+
+        # tokenize class names, right-padded
+        self.tokenizer.padding_side = "right"
+        enc = self.tokenizer(
+            list(all_class_names), padding="longest", return_tensors="np"
+        )
+        class_ids = jnp.asarray(enc["input_ids"], jnp.int32)
+        class_mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+        n_classes, w = class_ids.shape
+
+        latents = self.model.apply(
+            self.params, vision_x, method=Flamingo.embed_vision
+        )
+        n_media = count_media(ids, self.model.cfg.media_token_id)
+
+        # prefill context once (cache_media + precompute, flamingo.py:315)
+        cache = KVCache.create(
+            self.model.cfg.lm, b, t_ctx + w, dtype=self.model.dtype
+        )
+        ctx_logits, _, cache = self.model.apply(
+            self.params, None, ids, mask, media_latents=latents, cache=cache
+        )
+        last_logp = jax.nn.log_softmax(ctx_logits[:, -1].astype(jnp.float32), -1)
+
+        scores = np.zeros((b, n_classes), np.float32)
+        for start in range(0, n_classes, class_chunk):
+            chunk_ids = class_ids[start : start + class_chunk]      # (C, W)
+            chunk_mask = class_mask[start : start + class_chunk]
+            c = chunk_ids.shape[0]
+            # tile context cache per class: (B*C, ...)
+            tiled_cache = jax.tree.map(
+                lambda x: jnp.repeat(x, c, axis=0)
+                if hasattr(x, "ndim") and x.ndim > 0 and x.shape[0] == b
+                else x,
+                cache,
+            )
+            tok = jnp.tile(chunk_ids, (b, 1))                        # (B*C, W)
+            tmask = jnp.tile(chunk_mask, (b, 1))
+            lat = jnp.repeat(latents, c, axis=0)
+            nm = jnp.repeat(n_media, c, axis=0)
+            step_logits, _ = self.model.apply(
+                self.params, lat, tok, tmask, tiled_cache, nm,
+                method=Flamingo.decode_step,
+            )
+            logp = jax.nn.log_softmax(step_logits.astype(jnp.float32), -1)
+
+            # token 0 scored by the context's last logit
+            first = jnp.take_along_axis(
+                jnp.repeat(last_logp, c, axis=0), tok[:, :1], axis=-1
+            )[:, 0]
+            rest = jnp.take_along_axis(logp[:, :-1], tok[:, 1:, None], axis=-1)[
+                ..., 0
+            ]
+            rest = jnp.where(tmask[:, 1:] > 0, rest, 0.0)
+            total = first * (tmask[:, 0] > 0) + rest.sum(-1)
+            lengths = tmask.sum(-1)
+            val = total / lengths if normalize_length else total
+            scores[:, start : start + c] = np.asarray(
+                val.reshape(b, c), np.float32
+            )
+        return scores

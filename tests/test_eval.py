@@ -1,0 +1,220 @@
+"""Eval harness tests: rank classification vs brute force, generation
+adapter, and end-to-end evaluators on synthetic datasets."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_flamingo_tpu.eval.eval_model import OpenFlamingoEvalModel
+from open_flamingo_tpu.eval.evaluate import (
+    evaluate_captioning,
+    evaluate_classification,
+    evaluate_vqa,
+)
+from open_flamingo_tpu.image_processing import ImageProcessor
+from open_flamingo_tpu.tokenization import SimpleTokenizer
+
+from test_flamingo import tiny_flamingo
+
+IMG = 14
+
+
+@pytest.fixture(scope="module")
+def eval_setup():
+    import dataclasses
+
+    from open_flamingo_tpu.models.flamingo import Flamingo
+
+    tok = SimpleTokenizer(vocab_size=64)
+    media_id = tok.encode("<image>")[-1]
+    eoc_id = tok.encode("<|endofchunk|>")[-1]
+    base = tiny_flamingo()
+    cfg = dataclasses.replace(
+        base.cfg, media_token_id=media_id, eoc_token_id=eoc_id
+    )
+    model = Flamingo(cfg=cfg)
+    vision_x = np.zeros((1, 1, 1, IMG, IMG, 3), np.float32)
+    ids = np.full((1, 4), media_id, np.int32)
+    params = model.init(jax.random.PRNGKey(0), vision_x, ids, np.ones_like(ids))
+    proc = ImageProcessor(image_size=IMG)
+    em = OpenFlamingoEvalModel(model, params, proc, tok)
+    return em, tok
+
+
+def _pil_image(rng):
+    from PIL import Image
+
+    return Image.fromarray(
+        rng.integers(0, 255, size=(20, 24, 3), dtype=np.uint8)
+    )
+
+
+def test_get_outputs_shapes(eval_setup, rng):
+    em, tok = eval_setup
+    texts = [
+        em.get_caption_prompt("a demo") + em.get_caption_prompt(),
+        em.get_caption_prompt(),
+    ]
+    images = [[_pil_image(rng), _pil_image(rng)], [_pil_image(rng)]]
+    out = em.get_outputs(texts, images, 0, 4, num_beams=1, length_penalty=0.0)
+    assert len(out) == 2
+    assert all(isinstance(s, str) for s in out)
+
+
+def test_rank_classification_matches_bruteforce(eval_setup, rng):
+    em, tok = eval_setup
+    model, params = em.model, em.params
+    classes = ["cat", "dog house", "green bird"]
+    texts = [em.get_imagenet_prompt(), em.get_imagenet_prompt()]
+    images = [[_pil_image(rng)], [_pil_image(rng)]]
+
+    scores = em.get_rank_classifications(
+        texts, images, classes, use_cache=True, normalize_length=True,
+        class_chunk=2,
+    )
+    assert scores.shape == (2, 3)
+
+    # brute force: full forward on ctx+class, sum logprobs of class tokens
+    vision_x = em._prepare_images(images)
+    for ci, cname in enumerate(classes):
+        ctoks = tok.encode(cname)
+        for bi in range(2):
+            em.tokenizer.padding_side = "left"
+            t = tok(texts[bi: bi + 1], padding="longest", return_tensors="np")
+            ids = np.concatenate(
+                [t["input_ids"], np.asarray([ctoks], np.int32)], axis=1
+            )
+            mask = np.concatenate(
+                [t["attention_mask"], np.ones((1, len(ctoks)), np.int32)], axis=1
+            )
+            logits, _, _ = model.apply(
+                params,
+                vision_x[bi: bi + 1],
+                jnp.asarray(ids),
+                jnp.asarray(mask),
+            )
+            logp = jax.nn.log_softmax(np.asarray(logits, np.float32), -1)
+            t_ctx = t["input_ids"].shape[1]
+            want = 0.0
+            for j, ct in enumerate(ctoks):
+                want += logp[0, t_ctx - 1 + j, ct]
+            want /= len(ctoks)
+            np.testing.assert_allclose(scores[bi, ci], want, atol=2e-4)
+
+
+def _make_caption_data(tmp_path, rng, n_train=8, n_test=4):
+    import os
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir, exist_ok=True)
+    images = []
+    words = ["dog", "cat", "bird", "fish", "tree", "car"]
+    for i in range(n_train + n_test):
+        p = img_dir / f"img_{i}.jpg"
+        _pil_image(rng).save(p)
+        images.append(
+            {
+                "filepath": "train2014",
+                "filename": f"img_{i}.jpg",
+                "cocoid": i,
+                "split": "train" if i < n_train else "val",
+                "sentences": [
+                    {"raw": f"a {words[i % len(words)]} in a photo"},
+                    {"raw": f"the {words[i % len(words)]} is shown"},
+                ],
+            }
+        )
+    ann = tmp_path / "karpathy.json"
+    ann.write_text(json.dumps({"images": images}))
+    return str(img_dir), str(ann)
+
+
+def test_evaluate_captioning_end_to_end(eval_setup, tmp_path, rng):
+    from open_flamingo_tpu.eval.eval_datasets import CaptionDataset
+
+    em, _ = eval_setup
+    img_dir, ann = _make_caption_data(tmp_path, rng)
+    train = CaptionDataset(img_dir, ann, True, "coco", img_dir)
+    test = CaptionDataset(img_dir, ann, False, "coco", img_dir)
+    score = evaluate_captioning(
+        em, train, test, num_shots=2, batch_size=2, num_samples=4,
+        query_set_size=8, max_generation_length=4, num_beams=1,
+    )
+    assert score is not None and np.isfinite(score)
+
+
+def test_evaluate_vqa_end_to_end(eval_setup, tmp_path, rng):
+    import os
+
+    from open_flamingo_tpu.eval.eval_datasets import VQADataset
+
+    em, _ = eval_setup
+    img_dir = tmp_path / "vqa_imgs"
+    os.makedirs(img_dir)
+    questions, annotations = [], []
+    for i in range(8):
+        split = "train2014" if i < 4 else "val2014"
+        _pil_image(rng).save(img_dir / f"COCO_{split}_{i:012d}.jpg")
+        questions.append(
+            {"question": f"what is {i}", "question_id": i, "image_id": i}
+        )
+        annotations.append(
+            {
+                "question_id": i,
+                "answers": [{"answer": "yes"}] * 10,
+            }
+        )
+    qp = tmp_path / "q.json"
+    ap = tmp_path / "a.json"
+    qp.write_text(json.dumps({"questions": questions[:4]}))
+    (tmp_path / "qt.json").write_text(json.dumps({"questions": questions[4:]}))
+    ap.write_text(json.dumps({"annotations": annotations[:4]}))
+    (tmp_path / "at.json").write_text(json.dumps({"annotations": annotations[4:]}))
+
+    train = VQADataset(str(img_dir), str(qp), str(ap), True, "vqav2")
+    test = VQADataset(
+        str(img_dir), str(tmp_path / "qt.json"), str(tmp_path / "at.json"),
+        False, "vqav2",
+    )
+    score = evaluate_vqa(
+        em, train, test, num_shots=2, batch_size=2, num_samples=4,
+        query_set_size=4, max_generation_length=3, num_beams=1,
+    )
+    assert score is not None and 0 <= score <= 100
+
+
+def test_evaluate_classification_end_to_end(eval_setup, tmp_path, rng):
+    em, _ = eval_setup
+
+    class ToyDataset:
+        def __init__(self, n):
+            self.items = [
+                {
+                    "id": i,
+                    "image": _pil_image(rng),
+                    "class_id": i % 2,
+                    "class_name": ["no", "yes"][i % 2],
+                }
+                for i in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    score = evaluate_classification(
+        em, ToyDataset(6), ToyDataset(4),
+        all_class_names=["no", "yes"],
+        class_id_to_name={0: "no", 1: "yes"},
+        prompt_fn=lambda item, label: em.get_hateful_memes_prompt(
+            "some text", label
+        ),
+        num_shots=2, batch_size=2, num_samples=4, query_set_size=6,
+        metric="roc_auc",
+    )
+    assert score is not None and np.isfinite(score)
