@@ -420,23 +420,102 @@ def main(argv=None, *, eval_model=None):
                     eval_model, train, test, dataset_name="coco", **common
                 )
                 results["coco"].append({"shots": shot, "seed": seed, "cider": score})
-            if args.eval_vqav2:
+            if args.eval_flickr:
+                train = CaptionDataset(
+                    args.flickr_image_dir_path, args.flickr_karpathy_json_path,
+                    True, "flickr",
+                )
+                test = CaptionDataset(
+                    args.flickr_image_dir_path, args.flickr_karpathy_json_path,
+                    False, "flickr",
+                )
+                score = evaluate_captioning(
+                    eval_model, train, test, dataset_name="flickr", **common
+                )
+                results["flickr"].append(
+                    {"shots": shot, "seed": seed, "cider": score}
+                )
+            for vqa_name in ("vqav2", "ok_vqa", "vizwiz", "textvqa"):
+                if not getattr(args, f"eval_{vqa_name}"):
+                    continue
+                g = lambda f: getattr(args, f"{vqa_name}_{f}")
                 train = VQADataset(
-                    args.vqav2_train_image_dir_path,
-                    args.vqav2_train_questions_json_path,
-                    args.vqav2_train_annotations_json_path, True, "vqav2",
+                    g("train_image_dir_path") or g("image_dir_path"),
+                    g("train_questions_json_path"),
+                    g("train_annotations_json_path"), True, vqa_name,
                 )
                 test = VQADataset(
-                    args.vqav2_test_image_dir_path,
-                    args.vqav2_test_questions_json_path,
-                    args.vqav2_test_annotations_json_path, False, "vqav2",
+                    g("test_image_dir_path") or g("image_dir_path"),
+                    g("test_questions_json_path"),
+                    g("test_annotations_json_path"), False, vqa_name,
                 )
                 score = evaluate_vqa(
-                    eval_model, train, test, dataset_name="vqav2", **common
+                    eval_model, train, test, dataset_name=vqa_name,
+                    max_generation_length=10 if vqa_name == "textvqa" else 5,
+                    results_path=(
+                        f"{vqa_name}results_{uuid.uuid4()}.json"
+                        if g("test_annotations_json_path") is None
+                        else None
+                    ),
+                    **common,
                 )
-                results["vqav2"].append({"shots": shot, "seed": seed, "acc": score})
-            # (ok_vqa / vizwiz / textvqa / flickr / imagenet / hateful_memes
-            # wire identically; see tests/test_eval.py for direct calls)
+                results[vqa_name].append(
+                    {"shots": shot, "seed": seed, "acc": score}
+                )
+            if args.eval_imagenet:
+                from .classification_utils import (
+                    IMAGENET_1K_CLASS_ID_TO_LABEL,
+                    IMAGENET_CLASSNAMES,
+                )
+                from .eval_datasets import ImageNetDataset
+
+                train = ImageNetDataset(
+                    args.imagenet_root, IMAGENET_1K_CLASS_ID_TO_LABEL
+                )
+                test = ImageNetDataset(
+                    args.imagenet_root, IMAGENET_1K_CLASS_ID_TO_LABEL
+                )
+                score = evaluate_classification(
+                    eval_model, train, test,
+                    all_class_names=IMAGENET_CLASSNAMES,
+                    class_id_to_name=IMAGENET_1K_CLASS_ID_TO_LABEL,
+                    prompt_fn=lambda item, label: eval_model.get_imagenet_prompt(
+                        label
+                    ),
+                    use_prompt_ensembling=True,
+                    metric="accuracy",
+                    **common,
+                )
+                results["imagenet"].append(
+                    {"shots": shot, "seed": seed, "acc": score}
+                )
+            if args.eval_hateful_memes:
+                from .classification_utils import (
+                    HM_CLASS_ID_TO_LABEL,
+                    HM_CLASSNAMES,
+                )
+
+                train = HatefulMemesDataset(
+                    args.hateful_memes_image_dir_path,
+                    args.hateful_memes_train_annotations_json_path,
+                )
+                test = HatefulMemesDataset(
+                    args.hateful_memes_image_dir_path,
+                    args.hateful_memes_test_annotations_json_path,
+                )
+                score = evaluate_classification(
+                    eval_model, train, test,
+                    all_class_names=HM_CLASSNAMES,
+                    class_id_to_name=HM_CLASS_ID_TO_LABEL,
+                    prompt_fn=lambda item, label: eval_model.get_hateful_memes_prompt(
+                        item["ocr"], label
+                    ),
+                    metric="roc_auc",
+                    **common,
+                )
+                results["hateful_memes"].append(
+                    {"shots": shot, "seed": seed, "roc_auc": score}
+                )
 
     if args.results_file:
         with open(args.results_file, "w") as f:

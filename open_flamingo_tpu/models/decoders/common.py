@@ -106,6 +106,9 @@ class AttnInputs:
     position_ids: jax.Array
     kv_slot: jax.Array
     kv_len: int = struct.field(pytree_node=False)
+    # (B, Tk) validity of each key slot — lets fused kernels rebuild the
+    # mask as causal & pad without materializing (B, 1, Tq, Tk).
+    pad_mask: Optional[jax.Array] = None
 
 
 def position_ids_from_mask(attention_mask: jax.Array) -> jax.Array:
@@ -143,6 +146,7 @@ def make_attn_inputs(
                 position_ids=q_pos,
                 kv_slot=jnp.zeros((), jnp.int32),
                 kv_len=kv_len,
+                pad_mask=am,
             ),
             None,
         )
@@ -173,7 +177,13 @@ def make_attn_inputs(
 
     new_cache = cache.replace(pad_mask=new_pad_mask)
     return (
-        AttnInputs(mask=mask, position_ids=q_pos, kv_slot=idx, kv_len=s_max),
+        AttnInputs(
+            mask=mask,
+            position_ids=q_pos,
+            kv_slot=idx,
+            kv_len=s_max,
+            pad_mask=new_pad_mask,
+        ),
         new_cache,
     )
 

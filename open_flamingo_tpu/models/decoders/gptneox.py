@@ -60,7 +60,11 @@ class GPTNeoXBlock(nn.Module):
         q, k = apply_rope(q, k, cos, sin)
 
         k_full, v_full, new_kv = update_layer_kv(layer_kv, k, v, attn)
-        out = attend(q * (cfg.head_dim**-0.5), k_full, v_full, mask=attn.mask)
+        from ...ops.attention import self_attention
+
+        out = self_attention(
+            q, k_full, v_full, attn, scale=cfg.head_dim**-0.5
+        )
         attn_out = nn.Dense(cfg.hidden_size, **dense, name="dense")(merge_heads(out))
 
         # parallel: x + attn(ln1(x)) + mlp(ln2(x))

@@ -86,11 +86,14 @@ class LlamaBlock(nn.Module):
 
         k_full, v_full, new_kv = update_layer_kv(layer_kv, k, v, attn)
         n_rep = cfg.num_heads // h_kv
-        out = attend(
-            q * (cfg.head_dim**-0.5),
+        from ...ops.attention import self_attention
+
+        out = self_attention(
+            q,
             repeat_kv(k_full, n_rep),
             repeat_kv(v_full, n_rep),
-            mask=attn.mask,
+            attn,
+            scale=cfg.head_dim**-0.5,
         )
         x = x + nn.Dense(cfg.hidden_size, **dense, name="o_proj")(merge_heads(out))
 

@@ -53,9 +53,14 @@ class MPTBlock(nn.Module):
         v = v.reshape(b, t, cfg.num_heads, cfg.head_dim)
 
         k_full, v_full, new_kv = update_layer_kv(layer_kv, k, v, attn)
-        bias = alibi_bias(cfg.num_heads, attn.kv_len, cfg.alibi_bias_max)
-        out = attend(
-            q * (cfg.head_dim**-0.5), k_full, v_full, bias=bias, mask=attn.mask
+        from ...ops.attention import self_attention
+        from .common import alibi_slopes
+
+        out = self_attention(
+            q, k_full, v_full, attn,
+            scale=cfg.head_dim**-0.5,
+            alibi_slopes=alibi_slopes(cfg.num_heads, cfg.alibi_bias_max),
+            bias=alibi_bias(cfg.num_heads, attn.kv_len, cfg.alibi_bias_max),
         )
         out = nn.Dense(cfg.hidden_size, **dense, name="out_proj")(merge_heads(out))
         x = x + out
