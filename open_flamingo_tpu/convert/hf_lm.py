@@ -88,6 +88,33 @@ def config_from_hf(hf_config) -> DecoderConfig:
             tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
             hidden_act="silu",
         )
+    if mt == "gptj":
+        return DecoderConfig(
+            family="gptj",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.n_embd,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            intermediate_size=hf_config.n_inner or 4 * hf_config.n_embd,
+            max_position_embeddings=hf_config.n_positions,
+            layer_norm_eps=hf_config.layer_norm_epsilon,
+            rotary_dim=hf_config.rotary_dim,
+            attention_bias=False,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+            lm_head_bias=True,
+        )
+    if mt == "opt":
+        return DecoderConfig(
+            family="opt",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.ffn_dim,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            attention_bias=True,
+            tie_word_embeddings=True,
+        )
     raise ValueError(f"unsupported HF model_type: {mt}")
 
 
@@ -102,6 +129,10 @@ def convert_lm_params(
         return _convert_gptneox(sd, cfg)
     if cfg.family == "llama":
         return _convert_llama(sd, cfg)
+    if cfg.family == "gptj":
+        return _convert_gptj(sd, cfg)
+    if cfg.family == "opt":
+        return _convert_opt(sd, cfg)
     raise ValueError(cfg.family)
 
 
@@ -161,6 +192,50 @@ def _convert_gptneox(sd, cfg):
     params["norm_f"] = _ln(sd, pre + "final_layer_norm")
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"kernel": _t(sd["embed_out.weight"])}
+    return params
+
+
+def _convert_gptj(sd, cfg):
+    pre = "transformer." if "transformer.wte.weight" in sd else ""
+    params: Dict[str, Any] = {"wte": {"embedding": sd[pre + "wte.weight"]}}
+    for i in range(cfg.num_layers):
+        b = f"{pre}h.{i}."
+        params[f"blocks_{i}"] = {
+            "ln_1": _ln(sd, b + "ln_1"),
+            "q_proj": _linear(sd, b + "attn.q_proj", False),
+            "k_proj": _linear(sd, b + "attn.k_proj", False),
+            "v_proj": _linear(sd, b + "attn.v_proj", False),
+            "out_proj": _linear(sd, b + "attn.out_proj", False),
+            "fc_in": _linear(sd, b + "mlp.fc_in"),
+            "fc_out": _linear(sd, b + "mlp.fc_out"),
+        }
+    params["norm_f"] = _ln(sd, pre + "ln_f")
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _linear(sd, "lm_head")
+    return params
+
+
+def _convert_opt(sd, cfg):
+    pre = "model.decoder." if "model.decoder.embed_tokens.weight" in sd else (
+        "decoder." if "decoder.embed_tokens.weight" in sd else ""
+    )
+    params: Dict[str, Any] = {
+        "wte": {"embedding": sd[pre + "embed_tokens.weight"]},
+        "wpe": {"embedding": sd[pre + "embed_positions.weight"]},
+    }
+    for i in range(cfg.num_layers):
+        b = f"{pre}layers.{i}."
+        params[f"blocks_{i}"] = {
+            "self_attn_layer_norm": _ln(sd, b + "self_attn_layer_norm"),
+            "q_proj": _linear(sd, b + "self_attn.q_proj"),
+            "k_proj": _linear(sd, b + "self_attn.k_proj"),
+            "v_proj": _linear(sd, b + "self_attn.v_proj"),
+            "out_proj": _linear(sd, b + "self_attn.out_proj"),
+            "final_layer_norm": _ln(sd, b + "final_layer_norm"),
+            "fc1": _linear(sd, b + "fc1"),
+            "fc2": _linear(sd, b + "fc2"),
+        }
+    params["norm_f"] = _ln(sd, pre + "final_layer_norm")
     return params
 
 

@@ -43,6 +43,7 @@ class DecoderConfig:
     clip_qkv: Optional[float] = None     # mpt
     attention_bias: bool = True          # gptneox has biases, mpt/llama not
     tie_word_embeddings: bool = True
+    lm_head_bias: bool = False           # gptj has a biased lm head
     hidden_act: str = "gelu"             # llama: silu
     # mosaicml "mosaic_gpt" variants (OF-3B MPT-1B checkpoint) use LN
     # without bias; HF MptBlock also strips LN biases.
@@ -246,6 +247,39 @@ def apply_rope(
         x_rot, x_pass = x[..., :rd], x[..., rd:]
         x_rot = x_rot * cos + _rotate_half(x_rot) * sin
         return jnp.concatenate([x_rot, x_pass], axis=-1) if x_pass.shape[-1] else x_rot
+
+    return rot(q), rot(k)
+
+
+def apply_rope_interleaved(
+    q: jax.Array,
+    k: jax.Array,
+    position_ids: jax.Array,
+    rotary_dim: int,
+    theta: float = 10000.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """GPT-J-style rotary: pairs are interleaved (rotate_every_two) rather
+    than split-half (HF gptj.apply_rotary_pos_emb semantics).
+
+    q/k: (B, T, H, Dh); first rotary_dim channels rotated.
+    """
+    half = rotary_dim // 2
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+    )
+    freqs = position_ids[..., None].astype(jnp.float32) * inv_freq[None, None, :]
+    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)[:, :, None, :]  # (B,T,1,rd)
+    cos = jnp.repeat(jnp.cos(freqs), 2, axis=-1)[:, :, None, :]
+
+    def rotate_every_two(x):
+        x1 = x[..., ::2]
+        x2 = x[..., 1::2]
+        return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+    def rot(x):
+        xr, xp = x[..., :rotary_dim], x[..., rotary_dim:]
+        xr = xr * cos.astype(x.dtype) + rotate_every_two(xr) * sin.astype(x.dtype)
+        return jnp.concatenate([xr, xp], axis=-1) if xp.shape[-1] else xr
 
     return rot(q), rot(k)
 

@@ -18,9 +18,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .decoders.common import AttnInputs, DecoderConfig, KVCache, make_attn_inputs
+from .decoders.gptj import GPTJBlock
 from .decoders.gptneox import GPTNeoXBlock
 from .decoders.llama import LlamaBlock, RMSNorm
 from .decoders.mpt import MPTBlock
+from .decoders.opt import OPTBlock
 from .xattn import GatedCrossAttentionBlock
 
 Dtype = Any
@@ -29,6 +31,8 @@ BLOCK_REGISTRY = {
     "mpt": MPTBlock,
     "gptneox": GPTNeoXBlock,
     "llama": LlamaBlock,
+    "gptj": GPTJBlock,
+    "opt": OPTBlock,
 }
 
 
@@ -86,6 +90,17 @@ class FlamingoLM(nn.Module):
             name="wte",
         )
         x = embed(input_ids)
+        if cfg.family == "opt":
+            # learned positions with the OPT +2 offset; position_ids are
+            # already mask-aware cumsum-1 (HF OPTLearnedPositionalEmbedding)
+            pos_embed = nn.Embed(
+                cfg.max_position_embeddings + 2,
+                cfg.hidden_size,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="wpe",
+            )
+            x = x + pos_embed(attn.position_ids + 2)
 
         block_cls = BLOCK_REGISTRY[cfg.family]
         xattn_cls = GatedCrossAttentionBlock
@@ -133,7 +148,7 @@ class FlamingoLM(nn.Module):
         else:
             logits = nn.Dense(
                 cfg.vocab_size,
-                use_bias=False,
+                use_bias=cfg.lm_head_bias,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="lm_head",

@@ -63,6 +63,20 @@ def _hf_model(family):
             attention_dropout=0.0,
         )
         return transformers.LlamaForCausalLM(cfg)
+    if family == "gptj":
+        cfg = transformers.GPTJConfig(
+            n_embd=64, n_head=4, n_layer=2, rotary_dim=8, vocab_size=VOCAB,
+            n_positions=64, attn_pdrop=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+            tie_word_embeddings=False,
+        )
+        return transformers.GPTJForCausalLM(cfg)
+    if family == "opt":
+        cfg = transformers.OPTConfig(
+            hidden_size=64, num_attention_heads=4, num_hidden_layers=2,
+            ffn_dim=128, vocab_size=VOCAB, max_position_embeddings=64,
+            dropout=0.0, attention_dropout=0.0, word_embed_proj_dim=64,
+        )
+        return transformers.OPTForCausalLM(cfg)
     raise ValueError(family)
 
 
@@ -78,7 +92,7 @@ def _parity(family, attention_mask, rng, atol=3e-4):
     with torch.no_grad():
         pos = (mask_t.cumsum(-1) - 1).clamp(min=0)
         kwargs = {}
-        if family in ("gptneox", "llama"):
+        if family in ("gptneox", "llama", "gptj", "opt"):
             kwargs["position_ids"] = pos
         want = hf(
             input_ids=torch.tensor(ids), attention_mask=mask_t, **kwargs
@@ -94,12 +108,15 @@ def _parity(family, attention_mask, rng, atol=3e-4):
     np.testing.assert_allclose(got[valid], want[valid], atol=atol, rtol=1e-4)
 
 
-@pytest.mark.parametrize("family", ["mpt", "gptneox", "llama"])
+FAMILIES = ["mpt", "gptneox", "llama", "gptj", "opt"]
+
+
+@pytest.mark.parametrize("family", FAMILIES)
 def test_full_mask_parity(family, rng):
     _parity(family, np.ones((B, T), np.int64), rng)
 
 
-@pytest.mark.parametrize("family", ["mpt", "gptneox", "llama"])
+@pytest.mark.parametrize("family", FAMILIES)
 def test_left_pad_parity(family, rng):
     mask = np.ones((B, T), np.int64)
     mask[0, :3] = 0

@@ -25,6 +25,15 @@ CONFIGS = {
         num_kv_heads=2, intermediate_size=64, attention_bias=False,
         tie_word_embeddings=False, layer_norm_eps=1e-6,
     ),
+    "gptj": DecoderConfig(
+        family="gptj", vocab_size=VOCAB, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, rotary_dim=4, attention_bias=False,
+        tie_word_embeddings=False, lm_head_bias=True,
+    ),
+    "opt": DecoderConfig(
+        family="opt", vocab_size=VOCAB, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, attention_bias=True, tie_word_embeddings=True,
+    ),
 }
 
 
