@@ -67,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_steps", type=int, default=0)
     p.add_argument("--report_to_wandb", action="store_true")
     p.add_argument("--wandb_project", default="open-flamingo-tpu")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of steps 2-5 here")
     return p
 
 
@@ -204,8 +206,17 @@ def main(argv: Optional[list] = None, *, model_override=None):
             for i, (bl, bm) in enumerate(zip(laion.dataloader, mmc4.dataloader)):
                 if i >= n_batches:
                     break
+                if args.profile_dir and i == 2 and epoch == start_epoch:
+                    jax.profiler.start_trace(args.profile_dir)
                 data_time = time.time() - t_end
                 state, metrics = step_fn(state, frozen, put(bl), put(bm))
+                if args.profile_dir and i == 5 and epoch == start_epoch:
+                    jax.tree.map(
+                        lambda x: x.block_until_ready()
+                        if hasattr(x, "block_until_ready") else x,
+                        metrics,
+                    )
+                    jax.profiler.stop_trace()
                 if (i % args.logging_steps == 0) or i == n_batches - 1:
                     metrics = jax.tree.map(float, jax.device_get(metrics))
                     step_time = time.time() - t_end
