@@ -65,6 +65,19 @@ def main():
     dt = sorted(times)[len(times) // 2]
     tokens_per_sec = B * NEW / dt
 
+    detail = {
+        "batch": B,
+        "prompt_len": T_TXT,
+        "new_tokens": NEW,
+        "images": B,
+        "p50_per_image_latency_s": round(dt / B, 4),
+        "dtype": "bf16",
+    }
+    try:
+        detail["train_step"] = bench_train_step()
+    except Exception as e:  # secondary config must not break the line
+        detail["train_step"] = {"error": repr(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -72,17 +85,93 @@ def main():
                 "value": round(tokens_per_sec, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": None,
-                "detail": {
-                    "batch": B,
-                    "prompt_len": T_TXT,
-                    "new_tokens": NEW,
-                    "images": B,
-                    "p50_per_image_latency_s": round(dt / B, 4),
-                    "dtype": "bf16",
-                },
+                "detail": detail,
             }
         )
     )
+
+
+def bench_train_step():
+    """MMC4-style interleaved train step (BASELINE configs[4]): OF-3B arch
+    with xattn every 4, bf16, remat, single chip."""
+    import dataclasses
+
+    import numpy as np
+
+    from open_flamingo_tpu.configs import flamingo_config
+    from open_flamingo_tpu.models.flamingo import Flamingo
+    from open_flamingo_tpu.train.optimizer import (
+        OptimizerConfig,
+        make_optimizer,
+        split_params,
+    )
+    from open_flamingo_tpu.train.train_loop import (
+        TrainLoopConfig,
+        TrainState,
+        make_train_step,
+    )
+
+    cfg = flamingo_config("OF-3B")
+    cfg = dataclasses.replace(
+        cfg, cross_attn_every_n=4, gradient_checkpointing=True
+    )
+    model = Flamingo(cfg=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+
+    B_L, B_M, T_L, T_M, N_IMG = 8, 4, 32, 256, 6
+    rng = np.random.default_rng(0)
+
+    def mk_batch(b, t_img, t_txt):
+        ids = rng.integers(10, 50000, size=(b, t_txt)).astype(np.int32)
+        ids[:, 0] = cfg.media_token_id
+        ids[:, t_txt // 2] = cfg.eoc_token_id
+        if t_img > 1:
+            ids[:, t_txt // 2 + 1] = cfg.media_token_id
+        return {
+            "vision_x": jnp.zeros((b, t_img, 1, 224, 224, 3), jnp.bfloat16),
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.ones((b, t_txt), jnp.int32),
+        }
+
+    bl, bm = mk_batch(B_L, 1, T_L), mk_batch(B_M, N_IMG, T_M)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), bl["vision_x"], bl["input_ids"],
+            bl["attention_mask"],
+        )
+    )
+    params = jax.jit(
+        lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
+    )()
+    train, frozen = split_params(params)
+    tx = make_optimizer(
+        OptimizerConfig(warmup_steps=0),
+        media_token_id=cfg.media_token_id, eoc_token_id=cfg.eoc_token_id,
+    )
+    step = jax.jit(
+        make_train_step(model, tx, TrainLoopConfig(pad_token_id=1)),
+        donate_argnums=(0,),
+    )
+    state = TrainState.create(train, tx)
+
+    import numpy as _np
+
+    state, m = step(state, frozen, bl, bm)
+    _np.asarray(m["loss"])  # sync
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, frozen, bl, bm)
+        _np.asarray(m["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
+    tokens = B_L * T_L + B_M * T_M
+    images = B_L + B_M * N_IMG
+    return {
+        "tokens_per_sec_per_chip": round(tokens / dt, 1),
+        "images_per_sec_per_chip": round(images / dt, 1),
+        "step_time_s": round(dt, 4),
+        "config": "OF-3B arch, xattn/4, bf16, remat, B=8 laion + 4 mmc4",
+    }
 
 
 if __name__ == "__main__":

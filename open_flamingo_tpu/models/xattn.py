@@ -81,24 +81,49 @@ class MaskedCrossAttention(nn.Module):
         kv = nn.Dense(inner * 2, **dense, name="to_kv")(media_flat)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        q = split_heads(q, self.heads) * (self.dim_head**-0.5)
+        q = split_heads(q, self.heads)
         k = split_heads(k, self.heads)
         v = split_heads(v, self.heads)
 
-        # media_time per flattened K/V position: image j (0-based) -> j+1
-        media_time = (
-            jax.lax.broadcasted_iota(jnp.int32, (t_img, n_lat), 0).reshape(-1) + 1
+        h = self.heads
+        tq = q.shape[1]
+        use_kernel = (
+            self.only_attend_immediate_media
+            and tq >= 8
+            and jax.default_backend() == "tpu"
         )
-        tt = text_time[:, None, :, None]          # (B, 1, T_txt, 1)
-        mt = media_time[None, None, None, :]      # (1, 1, 1, T_img*n)
-        if self.only_attend_immediate_media:
-            mask = tt == mt
-            zero_rows = (text_time == 0)[:, None, :, None]
-        else:
-            mask = tt >= mt
-            zero_rows = None
+        if use_kernel:
+            # fused Pallas path: media-time mask computed in-kernel
+            from ..ops.masked_xattn import masked_xattn
 
-        out = attend(q, k, v, mask=mask, zero_rows=zero_rows)
+            d = self.dim_head
+            s = t_img * n_lat
+            qf = q.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
+            kf = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+            vf = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+            tt_h = jnp.repeat(text_time.astype(jnp.int32), h, axis=0)
+            out = masked_xattn(
+                qf, kf, vf, tt_h, n_lat, self.dim_head**-0.5
+            )
+            out = out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+        else:
+            # media_time per flattened K/V position: image j (0-based) -> j+1
+            media_time = (
+                jax.lax.broadcasted_iota(jnp.int32, (t_img, n_lat), 0).reshape(-1)
+                + 1
+            )
+            tt = text_time[:, None, :, None]          # (B, 1, T_txt, 1)
+            mt = media_time[None, None, None, :]      # (1, 1, 1, T_img*n)
+            if self.only_attend_immediate_media:
+                mask = tt == mt
+                zero_rows = (text_time == 0)[:, None, :, None]
+            else:
+                mask = tt >= mt
+                zero_rows = None
+
+            out = attend(
+                q * (self.dim_head**-0.5), k, v, mask=mask, zero_rows=zero_rows
+            )
         out = merge_heads(out)
         return nn.Dense(self.dim, **dense, name="to_out")(out)
 
