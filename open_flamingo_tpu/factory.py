@@ -106,9 +106,12 @@ def create_model_and_transforms(
         vocab_size = max(lm_cfg.vocab_size, len(tokenizer))
     else:
         tokenizer = SimpleTokenizer(vocab_size=lm_cfg.vocab_size)
-        # mirror the reference layout: ids appended at the end of the vocab
-        eoc_id = lm_cfg.vocab_size
-        media_id = lm_cfg.vocab_size + 1
+        # mirror the reference layout: ids appended at the end of the vocab;
+        # the tokenizer must emit the SAME ids the model is configured with.
+        from .tokenization import EOC_TOKEN, MEDIA_TOKEN
+
+        eoc_id = tokenizer.pin(EOC_TOKEN, lm_cfg.vocab_size)
+        media_id = tokenizer.pin(MEDIA_TOKEN, lm_cfg.vocab_size + 1)
         vocab_size = lm_cfg.vocab_size + 2
 
     lm_cfg = dataclasses.replace(lm_cfg, vocab_size=vocab_size)

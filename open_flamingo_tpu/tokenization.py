@@ -37,6 +37,8 @@ class SimpleTokenizer:
         self.id_to_token: List[str] = ["<PAD>", "<unk>", "<s>", "</s>"]
         self.token_to_id = {t: i for i, t in enumerate(self.id_to_token)}
         self.vocab_budget = vocab_size
+        self.pinned: dict = {}       # token -> fixed id (may exceed budget)
+        self.pinned_rev: dict = {}   # id -> token
         self.pad_token = "<PAD>"
         self.eos_token = "</s>"
         self.padding_side = "right"
@@ -46,14 +48,32 @@ class SimpleTokenizer:
             self._add(t)
 
     def _add(self, tok: str) -> int:
+        if tok in self.pinned:
+            return self.pinned[tok]
         if tok not in self.token_to_id:
+            if len(self.id_to_token) >= self.vocab_budget:
+                return self.token_to_id["<unk>"]  # vocab full: never emit
+                # ids the model's embedding table doesn't have
             self.token_to_id[tok] = len(self.id_to_token)
             self.id_to_token.append(tok)
         return self.token_to_id[tok]
 
+    def pin(self, tok: str, idx: int) -> int:
+        """Force `tok` to a fixed id (the factory appends the Flamingo
+        special tokens after the base LM vocab, factory.py:90). Pinned ids
+        live outside the organic vocab and may exceed vocab_size."""
+        old = self.token_to_id.pop(tok, None)
+        if old is not None:
+            self.id_to_token[old] = f"<unused{old}>"
+            self.token_to_id[self.id_to_token[old]] = old
+        self.pinned[tok] = idx
+        self.pinned_rev[idx] = tok
+        return idx
+
     # --- HF-ish surface ---------------------------------------------------
     def __len__(self):
-        return max(len(self.id_to_token), self.vocab_budget)
+        top = max(self.pinned_rev, default=-1) + 1
+        return max(len(self.id_to_token), self.vocab_budget, top)
 
     @property
     def pad_token_id(self):
@@ -102,9 +122,12 @@ class SimpleTokenizer:
         toks = []
         for i in ids:
             i = int(i)
-            if i >= len(self.id_to_token):
+            if i in self.pinned_rev:
+                t = self.pinned_rev[i]
+            elif i >= len(self.id_to_token):
                 continue
-            t = self.id_to_token[i]
+            else:
+                t = self.id_to_token[i]
             if skip_special_tokens and (
                 t in (self.pad_token, self.eos_token, EOC_TOKEN, MEDIA_TOKEN)
                 or t.startswith("<")
