@@ -364,7 +364,17 @@ def main(argv=None, *, eval_model=None):
     )
     from ..parallel.distributed import process_allgather
 
-    args = build_parser().parse_args(argv)
+    args, leftover = build_parser().parse_known_args(argv)
+    # freeform --key value leftovers become model kwargs (evaluate.py:394-399)
+    model_kwargs = {
+        leftover[i].lstrip("-"): leftover[i + 1]
+        for i in range(0, len(leftover) - 1, 2)
+        if leftover[i].startswith("--")
+    }
+    if eval_model is None and args.model != "open_flamingo":
+        from .models import get_eval_model
+
+        eval_model = get_eval_model(args.model, **model_kwargs)
     if eval_model is None:
         import jax.numpy as jnp
 
@@ -463,6 +473,8 @@ def main(argv=None, *, eval_model=None):
                     {"shots": shot, "seed": seed, "acc": score}
                 )
             if args.eval_imagenet:
+                import os
+
                 from .classification_utils import (
                     IMAGENET_1K_CLASS_ID_TO_LABEL,
                     IMAGENET_CLASSNAMES,
@@ -470,10 +482,12 @@ def main(argv=None, *, eval_model=None):
                 from .eval_datasets import ImageNetDataset
 
                 train = ImageNetDataset(
-                    args.imagenet_root, IMAGENET_1K_CLASS_ID_TO_LABEL
+                    os.path.join(args.imagenet_root, "train"),
+                    IMAGENET_1K_CLASS_ID_TO_LABEL,
                 )
                 test = ImageNetDataset(
-                    args.imagenet_root, IMAGENET_1K_CLASS_ID_TO_LABEL
+                    os.path.join(args.imagenet_root, "val"),
+                    IMAGENET_1K_CLASS_ID_TO_LABEL,
                 )
                 score = evaluate_classification(
                     eval_model, train, test,
@@ -517,10 +531,27 @@ def main(argv=None, *, eval_model=None):
                     {"shots": shot, "seed": seed, "roc_auc": score}
                 )
 
+    # aggregate mean/stddev across trials per shot count (evaluate.py:
+    # 414-725 aggregation semantics)
+    aggregated = {}
+    for bench_name, rows in results.items():
+        by_shot = defaultdict(list)
+        metric_key = next(
+            k for k in rows[0] if k not in ("shots", "seed")
+        )
+        for r in rows:
+            if r[metric_key] is not None:
+                by_shot[r["shots"]].append(r[metric_key])
+        aggregated[bench_name] = {
+            "trials": rows,
+            "mean": {s: float(np.mean(v)) for s, v in by_shot.items()},
+            "stddev": {s: float(np.std(v)) for s, v in by_shot.items()},
+        }
+
     if args.results_file:
         with open(args.results_file, "w") as f:
-            json.dump(results, f, indent=2)
-    return dict(results)
+            json.dump(aggregated, f, indent=2)
+    return aggregated
 
 
 if __name__ == "__main__":

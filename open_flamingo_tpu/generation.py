@@ -252,7 +252,11 @@ def flamingo_generate(
         attention_mask = jnp.repeat(attention_mask, k, axis=0)
         n_media = jnp.repeat(n_media, k, axis=0)
 
-    cache = KVCache.create(model.cfg.lm, lang_x.shape[0], cache_len)
+    # K/V cache in the model's compute dtype: decode is cache-bandwidth
+    # bound, fp32 K/V would double the HBM traffic of every step.
+    cache = KVCache.create(
+        model.cfg.lm, lang_x.shape[0], cache_len, dtype=model.dtype
+    )
     logits, _, cache = model.apply(
         params, None, lang_x, attention_mask, media_latents=latents, cache=cache
     )
