@@ -12,7 +12,7 @@ cache is a value, so "uncache_media" is simply not reusing it.
 from __future__ import annotations
 
 import abc
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

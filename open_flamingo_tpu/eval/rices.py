@@ -37,8 +37,6 @@ class RICES:
             self.features = self._precompute_features()
 
     def _embed(self, images_np: np.ndarray) -> np.ndarray:
-        from ..models.flamingo import Flamingo
-
         tokens = self.model.apply(
             self.params,
             jnp.asarray(images_np, self.model.dtype),

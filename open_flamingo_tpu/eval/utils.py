@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import random
-from typing import List
-
 import numpy as np
 
 

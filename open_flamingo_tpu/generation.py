@@ -13,8 +13,7 @@ media via the cached-media text-time rule (flamingo_lm.py:142-151).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Outputs NHWC float32/bf16 (TPU-native layout).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Sequence, Union
+from typing import Sequence, Union
 
 import numpy as np
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import attend, merge_heads
+from ..layers import merge_heads
 from .common import (
     AttnInputs,
     DecoderConfig,

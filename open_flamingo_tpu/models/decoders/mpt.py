@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import attend, gelu_exact, merge_heads
+from ..layers import gelu_exact, merge_heads
 from .common import AttnInputs, DecoderConfig, LayerKV, alibi_bias, update_layer_kv
 
 Dtype = Any

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .decoders.common import AttnInputs, DecoderConfig, KVCache, make_attn_inputs
+from .decoders.common import DecoderConfig, KVCache, make_attn_inputs
 from .decoders.gptj import GPTJBlock
 from .decoders.gptneox import GPTNeoXBlock
 from .decoders.llama import LlamaBlock, RMSNorm

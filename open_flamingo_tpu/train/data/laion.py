@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
-from typing import Any, List, Optional
+from typing import Any, List
 
 import numpy as np
 

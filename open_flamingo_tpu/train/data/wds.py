@@ -14,7 +14,6 @@ jax.device_put.
 from __future__ import annotations
 
 import dataclasses
-import io
 import logging
 import queue
 import random
