@@ -42,6 +42,9 @@ class FlamingoConfig:
     only_attend_immediate_media: bool = True
     freeze_vision: bool = True
     gradient_checkpointing: bool = False
+    # lax.scan over stacked layer groups (compile time O(1) in depth);
+    # convert per-layer params with models.lm.to_scanned_layout
+    scan_layers: bool = False
 
 
 class Flamingo(nn.Module):
@@ -69,6 +72,7 @@ class Flamingo(nn.Module):
             cross_attn_every_n=c.cross_attn_every_n,
             only_attend_immediate_media=c.only_attend_immediate_media,
             remat=c.gradient_checkpointing,
+            scan_layers=c.scan_layers,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

@@ -36,12 +36,98 @@ BLOCK_REGISTRY = {
 }
 
 
+class FlamingoLayerGroup(nn.Module):
+    """One homogeneous layer group for lax.scan: `group_size` decoder
+    blocks with the gated xattn (if any) before the LAST block — xattn_i
+    sits before block i where (i+1) % N == 0 (flamingo_lm.py:95-104)."""
+
+    cfg: DecoderConfig
+    vis_dim: Optional[int]
+    group_size: int
+    group_has_xattn: bool
+    has_cache: bool
+    only_attend_immediate_media: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, group_kv):
+        x, attn, media, text_time = carry
+        block_cls = BLOCK_REGISTRY[self.cfg.family]
+        new_kv = []
+        for k in range(self.group_size):
+            if k == self.group_size - 1 and self.group_has_xattn:
+                x = GatedCrossAttentionBlock(
+                    dim=self.cfg.hidden_size,
+                    dim_visual=self.vis_dim,
+                    only_attend_immediate_media=self.only_attend_immediate_media,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="xattn",
+                )(x, media, text_time)
+            layer_kv = group_kv[k] if self.has_cache else None
+            x, kv = block_cls(
+                cfg=self.cfg,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"block_{k}",
+            )(x, attn, layer_kv)
+            new_kv.append(kv)
+        out_kv = tuple(new_kv) if self.has_cache else group_kv
+        return (x, attn, media, text_time), out_kv
+
+
+def stack_group_kv(layers, n: int):
+    """Per-layer KVCache tuple (len G*n) -> tuple of n LayerKV stacked
+    over the G groups (layer i = g*n + k)."""
+    g = len(layers) // n
+    return tuple(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *[layers[i * n + k] for i in range(g)])
+        for k in range(n)
+    )
+
+
+def unstack_group_kv(stacked, g: int, n: int):
+    out = []
+    for gi in range(g):
+        for k in range(n):
+            out.append(jax.tree.map(lambda x: x[gi], stacked[k]))
+    return tuple(out)
+
+
+def to_scanned_layout(lm_params: dict, num_layers: int, n: int) -> dict:
+    """Per-layer param layout (blocks_{i}/xattn_{i}) -> scanned layout
+    (groups/block_{k}, groups/xattn with leading group axis)."""
+    import numpy as np
+
+    g = num_layers // n
+    groups: dict = {}
+    for k in range(n):
+        per = [lm_params[f"blocks_{gi * n + k}"] for gi in range(g)]
+        groups[f"block_{k}"] = jax.tree.map(lambda *xs: np.stack(xs), *per)
+    xkeys = [f"xattn_{gi * n + n - 1}" for gi in range(g)]
+    if all(k in lm_params for k in xkeys):
+        per = [lm_params[k] for k in xkeys]
+        groups["xattn"] = jax.tree.map(lambda *xs: np.stack(xs), *per)
+    rest = {
+        k: v
+        for k, v in lm_params.items()
+        if not (k.startswith("blocks_") or k.startswith("xattn_"))
+    }
+    return {**rest, "groups": groups}
+
+
 class FlamingoLM(nn.Module):
     """Decoder LM, optionally with gated cross-attention every N layers.
 
     With `cross_attn_every_n=None` this is a plain causal LM (used for
     HF parity tests). Init must be called with `media`/`text_time` when
     xattn layers are enabled so their params are created.
+
+    scan_layers=True runs the layer stack as lax.scan over homogeneous
+    groups (stacked params, compile time O(1) in depth — the TPU idiom);
+    requires num_layers % cross_attn_every_n == 0. Convert per-layer
+    params with `to_scanned_layout`.
     """
 
     cfg: DecoderConfig
@@ -51,6 +137,7 @@ class FlamingoLM(nn.Module):
     # jax.checkpoint each decoder block + xattn block (the reference's
     # activation checkpointing, open_flamingo/train/train.py:368-381)
     remat: bool = False
+    scan_layers: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -102,30 +189,33 @@ class FlamingoLM(nn.Module):
             )
             x = x + pos_embed(attn.position_ids + 2)
 
-        block_cls = BLOCK_REGISTRY[cfg.family]
-        xattn_cls = GatedCrossAttentionBlock
-        if self.remat:
-            block_cls = nn.remat(block_cls)
-            xattn_cls = nn.remat(xattn_cls)
-        new_layers = []
-        for i in range(cfg.num_layers):
-            if self.has_xattn(i) and (media is not None):
-                x = xattn_cls(
-                    dim=cfg.hidden_size,
-                    dim_visual=self.vis_dim,
-                    only_attend_immediate_media=self.only_attend_immediate_media,
+        if self.scan_layers:
+            x, new_layers = self._scan_stack(x, attn, media, text_time, cache)
+        else:
+            block_cls = BLOCK_REGISTRY[cfg.family]
+            xattn_cls = GatedCrossAttentionBlock
+            if self.remat:
+                block_cls = nn.remat(block_cls)
+                xattn_cls = nn.remat(xattn_cls)
+            new_layers = []
+            for i in range(cfg.num_layers):
+                if self.has_xattn(i) and (media is not None):
+                    x = xattn_cls(
+                        dim=cfg.hidden_size,
+                        dim_visual=self.vis_dim,
+                        only_attend_immediate_media=self.only_attend_immediate_media,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"xattn_{i}",
+                    )(x, media, text_time)
+                layer_kv = cache.layers[i] if cache is not None else None
+                x, new_kv = block_cls(
+                    cfg=cfg,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
-                    name=f"xattn_{i}",
-                )(x, media, text_time)
-            layer_kv = cache.layers[i] if cache is not None else None
-            x, new_kv = block_cls(
-                cfg=cfg,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"blocks_{i}",
-            )(x, attn, layer_kv)
-            new_layers.append(new_kv)
+                    name=f"blocks_{i}",
+                )(x, attn, layer_kv)
+                new_layers.append(new_kv)
 
         if cfg.family == "llama":
             x = RMSNorm(
@@ -161,3 +251,49 @@ class FlamingoLM(nn.Module):
                 index=cache.index + input_ids.shape[1],
             )
         return logits, cache
+
+    def _scan_stack(self, x, attn, media, text_time, cache):
+        """Layer stack as lax.scan over homogeneous groups."""
+        cfg = self.cfg
+        n = self.cross_attn_every_n or 1
+        assert cfg.num_layers % n == 0, (cfg.num_layers, n)
+        g = cfg.num_layers // n
+        has_xattn = self.cross_attn_every_n is not None and media is not None
+        has_cache = cache is not None
+
+        group_cls = FlamingoLayerGroup
+        if self.remat:
+            group_cls = nn.remat(
+                group_cls, prevent_cse=False, static_argnums=()
+            )
+        scanned = nn.scan(
+            group_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            out_axes=0,
+            length=g,
+        )(
+            cfg=cfg,
+            vis_dim=self.vis_dim,
+            group_size=n,
+            group_has_xattn=has_xattn,
+            has_cache=has_cache,
+            only_attend_immediate_media=self.only_attend_immediate_media,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="groups",
+        )
+        if has_cache:
+            xs = stack_group_kv(cache.layers, n)
+        else:
+            xs = jnp.zeros((g, 1), jnp.int32)  # dummy scanned input
+        if media is None:
+            media = jnp.zeros(
+                (x.shape[0], 1, 1, self.vis_dim or 1), self.dtype
+            )
+            text_time = jnp.zeros(x.shape[:2], jnp.int32)
+        (x, _, _, _), ys = scanned((x, attn, media, text_time), xs)
+        if has_cache:
+            return x, list(unstack_group_kv(ys, g, n))
+        return x, [None] * cfg.num_layers

@@ -66,6 +66,11 @@ def pspec_for(path, shape, mesh: Mesh) -> P:
     if len(shape) < 2:
         return P()  # biases, norms, gates: replicate
 
+    if leaf == "kernel" and len(shape) > 2:
+        # scan-stacked kernels (layer axis leading): shard the matmul dims
+        base = pspec_for(path, shape[-2:], mesh)
+        return P(*([None] * (len(shape) - 2)), *base)
+
     if parent == "wte" and leaf == "embedding":
         return _fit(P("model", "fsdp"), shape, mesh)
     if parent == "lm_head" and leaf == "kernel":

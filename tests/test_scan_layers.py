@@ -1,0 +1,92 @@
+"""scan_layers path: identical numerics to the unrolled stack with
+converted (stacked) params — forward, KV-cache decode, and gradients."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_flamingo_tpu.models.decoders.common import KVCache
+from open_flamingo_tpu.models.flamingo import Flamingo
+from open_flamingo_tpu.models.lm import to_scanned_layout
+
+from test_flamingo import VOCAB, make_batch, tiny_flamingo
+
+
+def _scan_variables(unrolled_vars, model):
+    lm = jax.tree.map(np.asarray, unrolled_vars["params"]["lm"])
+    lm_scanned = to_scanned_layout(
+        lm, model.cfg.lm.num_layers, model.cfg.cross_attn_every_n
+    )
+    params = dict(unrolled_vars["params"])
+    params["lm"] = jax.tree.map(jnp.asarray, lm_scanned)
+    return {"params": params}
+
+
+@pytest.mark.parametrize("every_n", [1, 2])
+def test_scan_matches_unrolled(rng, every_n):
+    base = tiny_flamingo()
+    cfg = dataclasses.replace(base.cfg, cross_attn_every_n=every_n)
+    unrolled = Flamingo(cfg=cfg)
+    scanned = Flamingo(cfg=dataclasses.replace(cfg, scan_layers=True))
+
+    vision_x, ids = make_batch(rng)
+    mask = jnp.ones_like(ids)
+    u_vars = unrolled.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    s_vars = _scan_variables(u_vars, unrolled)
+
+    want, lat_w, _ = unrolled.apply(u_vars, vision_x, ids, mask)
+    got, lat_g, _ = scanned.apply(s_vars, vision_x, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # cached decode through the scan path
+    cache = KVCache.create(cfg.lm, ids.shape[0], ids.shape[1] + 2)
+    pre, _, cache = scanned.apply(
+        s_vars, None, ids[:, :7], mask[:, :7], media_latents=lat_g, cache=cache
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre), np.asarray(want)[:, :7], atol=2e-5
+    )
+    step, cache = scanned.apply(
+        s_vars, lat_g, ids[:, 7:8], mask[:, 7:8], cache,
+        jnp.full((ids.shape[0],), 2, jnp.int32),
+        method=Flamingo.decode_step,
+    )
+    np.testing.assert_allclose(
+        np.asarray(step)[:, 0], np.asarray(want)[:, 7], atol=2e-5
+    )
+
+
+def test_scan_gradients_match(rng):
+    base = tiny_flamingo()
+    cfg = base.cfg
+    unrolled = Flamingo(cfg=cfg)
+    scanned = Flamingo(
+        cfg=dataclasses.replace(cfg, scan_layers=True, gradient_checkpointing=True)
+    )
+    vision_x, ids = make_batch(rng)
+    mask = jnp.ones_like(ids)
+    u_vars = unrolled.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    s_vars = _scan_variables(u_vars, Flamingo(cfg=cfg))
+
+    def loss_u(v):
+        logits, _, _ = unrolled.apply(v, vision_x, ids, mask)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    def loss_s(v):
+        logits, _, _ = scanned.apply(v, vision_x, ids, mask)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    gu = jax.grad(loss_u)(u_vars)["params"]["lm"]
+    gs = jax.grad(loss_s)(s_vars)["params"]["lm"]
+    # compare a stacked leaf against its per-layer counterparts
+    got = np.asarray(gs["groups"]["block_0"]["Wqkv"]["kernel"])
+    for i in range(cfg.lm.num_layers):
+        want = np.asarray(gu[f"blocks_{i}"]["Wqkv"]["kernel"])
+        np.testing.assert_allclose(got[i], want, atol=3e-5)
+    got_x = np.asarray(gs["groups"]["xattn"]["attn"]["to_q"]["kernel"])
+    for i in range(cfg.lm.num_layers):
+        want = np.asarray(gu[f"xattn_{i}"]["attn"]["to_q"]["kernel"])
+        np.testing.assert_allclose(got_x[i], want, atol=3e-5)
