@@ -43,7 +43,9 @@ def is_trainable(path: Tuple[str, ...], freeze_lm_embeddings: bool = False) -> b
     """Perceiver + gated xattn (+ input embeddings unless frozen) train;
     the ViT and the base LM stay frozen (factory.py:104-113)."""
     joined = "/".join(path)
-    if joined.startswith("params/perceiver/") or "/xattn_" in joined:
+    # matches both per-layer (lm/xattn_3/...) and scanned (lm/groups/xattn)
+    # layouts
+    if joined.startswith("params/perceiver/") or "xattn" in joined:
         return True
     if not freeze_lm_embeddings and "/wte/" in joined:
         return True
@@ -115,9 +117,9 @@ def make_optimizer(
     sched = make_schedule(cfg)
 
     def wd_mask(params):
-        return {
-            k: ("/".join(k).find("xattn_") >= 0) for k in params.keys()
-        }
+        # decay only gated-xattn params (train.py:392-408); matches both
+        # per-layer and scanned layouts
+        return {k: ("xattn" in "/".join(k)) for k in params.keys()}
 
     chain = []
     if mask_embedding_rows and media_token_id is not None:
