@@ -409,6 +409,33 @@ def main(argv=None, *, eval_model=None):
             )
         eval_model = OpenFlamingoEvalModel(model, params, image_processor, tokenizer)
 
+    def make_rices(train_dataset, name):
+        """RICES retriever over the demo pool (evaluate.py:795-806);
+        reuses cached features when --cached_demonstration_features points
+        at the scripts/cache_rices_features.py output dir."""
+        if not args.rices:
+            return None
+        import os
+
+        import numpy as np
+
+        from .rices import RICES
+
+        cached = None
+        if args.cached_demonstration_features:
+            path = os.path.join(
+                args.cached_demonstration_features, f"{name}.npy"
+            )
+            if os.path.exists(path):
+                cached = np.load(path)
+        return RICES(
+            train_dataset,
+            eval_model.model,
+            eval_model.params,
+            eval_model.image_processor,
+            cached_features=cached,
+        )
+
     results = defaultdict(list)
     for shot in args.shots:
         for seed in args.trial_seeds[: args.num_trials]:
@@ -427,7 +454,8 @@ def main(argv=None, *, eval_model=None):
                     False, "coco", args.coco_val_image_dir_path,
                 )
                 score = evaluate_captioning(
-                    eval_model, train, test, dataset_name="coco", **common
+                    eval_model, train, test, dataset_name="coco",
+                    rices=make_rices(train, "coco"), **common
                 )
                 results["coco"].append({"shots": shot, "seed": seed, "cider": score})
             if args.eval_flickr:
@@ -440,7 +468,8 @@ def main(argv=None, *, eval_model=None):
                     False, "flickr",
                 )
                 score = evaluate_captioning(
-                    eval_model, train, test, dataset_name="flickr", **common
+                    eval_model, train, test, dataset_name="flickr",
+                    rices=make_rices(train, "flickr"), **common
                 )
                 results["flickr"].append(
                     {"shots": shot, "seed": seed, "cider": score}
@@ -461,6 +490,7 @@ def main(argv=None, *, eval_model=None):
                 )
                 score = evaluate_vqa(
                     eval_model, train, test, dataset_name=vqa_name,
+                    rices=make_rices(train, vqa_name),
                     max_generation_length=10 if vqa_name == "textvqa" else 5,
                     results_path=(
                         f"{vqa_name}results_{uuid.uuid4()}.json"
@@ -491,6 +521,7 @@ def main(argv=None, *, eval_model=None):
                 )
                 score = evaluate_classification(
                     eval_model, train, test,
+                    rices=make_rices(train, "imagenet"),
                     all_class_names=IMAGENET_CLASSNAMES,
                     class_id_to_name=IMAGENET_1K_CLASS_ID_TO_LABEL,
                     prompt_fn=lambda item, label: eval_model.get_imagenet_prompt(
@@ -519,6 +550,7 @@ def main(argv=None, *, eval_model=None):
                 )
                 score = evaluate_classification(
                     eval_model, train, test,
+                    rices=make_rices(train, "hateful_memes"),
                     all_class_names=HM_CLASSNAMES,
                     class_id_to_name=HM_CLASS_ID_TO_LABEL,
                     prompt_fn=lambda item, label: eval_model.get_hateful_memes_prompt(
