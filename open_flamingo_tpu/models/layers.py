@@ -85,7 +85,8 @@ def attend(
     if mask is not None:
         neg = jnp.finfo(jnp.float32).min
         logits = jnp.where(mask, logits, neg)
-    logits = logits - jax.lax.stop_gradient(logits.max(axis=-1, keepdims=True))
+    # jax.nn.softmax subtracts the (stop-gradient) row max internally —
+    # matching the reference's explicit amax subtraction (helpers.py:220)
     probs = jax.nn.softmax(logits, axis=-1)
     if zero_rows is not None:
         probs = jnp.where(zero_rows, 0.0, probs)
