@@ -79,7 +79,9 @@ def attend(
     Softmax in fp32 with max-subtraction. Fully-masked rows produce a
     uniform distribution (matching torch masked_fill(-max) + softmax).
     """
-    logits = jnp.einsum("...qhd,...khd->...hqk", q, k).astype(jnp.float32)
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
+    )
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if mask is not None:
