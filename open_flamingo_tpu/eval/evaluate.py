@@ -228,6 +228,7 @@ def evaluate_classification(
     query_set_size: int = 2048,
     rices=None,
     use_prompt_ensembling: bool = False,
+    use_cache: bool = True,
     normalize_length: bool = True,
     metric: str = "accuracy",  # accuracy | roc_auc
     k: int = 5,
@@ -273,7 +274,7 @@ def evaluate_classification(
                 batch_images.append(imgs + [item["image"]])
             lp = eval_model.get_rank_classifications(
                 batch_text, batch_images, all_class_names,
-                use_cache=True, normalize_length=normalize_length,
+                use_cache=use_cache, normalize_length=normalize_length,
             )
             ensemble_logprobs.append(lp)
         logprobs = np.mean(np.stack(ensemble_logprobs), axis=0)
@@ -324,6 +325,12 @@ def build_parser():
     p.add_argument("--query_set_size", type=int, default=2048)
     p.add_argument("--rices", action="store_true")
     p.add_argument("--cached_demonstration_features", default=None)
+    p.add_argument("--no_caching_for_classification", action="store_true",
+                   help="skip K/V caching for classification evals "
+                        "(evaluate.py:79)")
+    p.add_argument("--classification_prompt_ensembling", action="store_true",
+                   help="average log-likelihoods over permutations of "
+                        "in-context examples (evaluate.py:84)")
     # model loading
     p.add_argument("--vision_encoder_path", default="ViT-L-14")
     p.add_argument("--lm_path", default="mosaicml/mpt-1b-redpajama-200b")
@@ -402,6 +409,9 @@ def main(argv=None, *, eval_model=None):
             if "model_state_dict" in sd:
                 sd = sd["model_state_dict"]
             conv = convert_flamingo_checkpoint(sd)
+            if model.cfg.lm.tie_word_embeddings:
+                # tied models have no separate head param; wte rows cover it
+                conv["lm"].pop("lm_head", None)
             params = _graft(params, ["params", "perceiver"], conv["perceiver"])
             params = _graft(
                 params, ["params", "lm"], conv["lm"],
@@ -527,7 +537,8 @@ def main(argv=None, *, eval_model=None):
                     prompt_fn=lambda item, label: eval_model.get_imagenet_prompt(
                         label
                     ),
-                    use_prompt_ensembling=True,
+                    use_prompt_ensembling=args.classification_prompt_ensembling,
+                    use_cache=not args.no_caching_for_classification,
                     metric="accuracy",
                     **common,
                 )
@@ -556,6 +567,7 @@ def main(argv=None, *, eval_model=None):
                     prompt_fn=lambda item, label: eval_model.get_hateful_memes_prompt(
                         item["ocr"], label
                     ),
+                    use_cache=not args.no_caching_for_classification,
                     metric="roc_auc",
                     **common,
                 )

@@ -74,7 +74,13 @@ def test_reference_pt_converter_roundtrip(rng):
     )
     sd = export_flamingo_checkpoint({"params": params})
     assert "perceiver.latents" in sd
-    assert any(k.startswith("lang_encoder.gated_cross_attn_layers.0.") for k in sd)
+    # released-checkpoint naming: FlamingoLayer path, not the ModuleList
+    # aliases that filter_state_dict_to_trainable deletes
+    assert any(
+        k.startswith("lang_encoder.transformer.blocks.0.gated_cross_attn_layer.")
+        for k in sd
+    )
+    assert not any("gated_cross_attn_layers" in k for k in sd)
     assert "lang_encoder.transformer.wte.weight" in sd
 
     back = convert_flamingo_checkpoint(sd)
@@ -98,3 +104,53 @@ def test_reference_pt_converter_roundtrip(rng):
     np.testing.assert_allclose(
         back["lm"]["wte"]["embedding"], np.asarray(params["lm"]["wte"]["embedding"])
     )
+
+
+def test_converter_accepts_modulelist_naming_and_family_embeddings(rng):
+    """Pre-filter ModuleList naming + llama/gptneox embedding keys must also
+    convert (ADVICE r1: released checkpoints use FlamingoLayer naming, but
+    unfiltered saves and other families exist)."""
+    d, dv = 8, 6
+    def lin(i, o):
+        return np.asarray(rng.normal(size=(o, i)), np.float32)
+
+    sd = {}
+    for base in (
+        "lang_encoder.gated_cross_attn_layers.1",
+        "lang_encoder.gpt_neox.layers.3.gated_cross_attn_layer",
+    ):
+        sd[f"{base}.attn_gate"] = np.zeros((1,), np.float32)
+        sd[f"{base}.ff_gate"] = np.zeros((1,), np.float32)
+        sd[f"{base}.attn.norm.weight"] = np.ones((d,), np.float32)
+        sd[f"{base}.attn.norm.bias"] = np.zeros((d,), np.float32)
+        sd[f"{base}.attn.to_q.weight"] = lin(d, d)
+        sd[f"{base}.attn.to_kv.weight"] = lin(dv, 2 * d)
+        sd[f"{base}.attn.to_out.weight"] = lin(d, d)
+        sd[f"{base}.ff.0.weight"] = np.ones((d,), np.float32)
+        sd[f"{base}.ff.0.bias"] = np.zeros((d,), np.float32)
+        sd[f"{base}.ff.1.weight"] = lin(d, 4 * d)
+        sd[f"{base}.ff.3.weight"] = lin(4 * d, d)
+    sd["lang_encoder.model.embed_tokens.weight"] = lin(d, 32)  # llama naming
+    sd["lang_encoder.embed_out.weight"] = lin(d, 32)  # gptneox untied head
+
+    conv = convert_flamingo_checkpoint(sd)
+    assert set(k for k in conv["lm"] if k.startswith("xattn_")) == {
+        "xattn_1",
+        "xattn_3",
+    }
+    np.testing.assert_allclose(
+        conv["lm"]["xattn_3"]["attn"]["to_q"]["kernel"],
+        sd["lang_encoder.gpt_neox.layers.3.gated_cross_attn_layer.attn.to_q.weight"].T,
+    )
+    assert conv["lm"]["wte"]["embedding"].shape == (32, d)
+    assert conv["lm"]["lm_head"]["kernel"].shape == (d, 32)
+
+
+def test_converter_rejects_xattn_free_checkpoint(rng):
+    """A checkpoint with perceiver weights but unrecognized xattn keys must
+    raise instead of silently grafting an unconditioned base LM."""
+    import pytest
+
+    sd = {"perceiver.latents": np.zeros((4, 8), np.float32)}
+    with pytest.raises(ValueError, match="unconditioned"):
+        convert_flamingo_checkpoint(sd)
