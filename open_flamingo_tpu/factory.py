@@ -69,7 +69,9 @@ def create_model_and_transforms(
     decoder_layers_attr_name: Optional[str] = None,  # accepted for API parity
     freeze_lm_embeddings: bool = False,
     cache_dir: Optional[str] = None,
+    gradient_checkpointing: bool = False,
     *,
+    scan_layers: bool = False,
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     init_params: bool = False,
@@ -121,6 +123,10 @@ def create_model_and_transforms(
         media_token_id=media_id,
         eoc_token_id=eoc_id,
         cross_attn_every_n=cross_attn_every_n_layers,
+        # the reference applies this post-wrap (train.py:368-381); here it
+        # is jax.checkpoint on each decoder+xattn block (models/lm.py)
+        gradient_checkpointing=gradient_checkpointing,
+        scan_layers=scan_layers,
     )
     model = Flamingo(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
     image_processor = ImageProcessor(image_size=vision_cfg.image_size)

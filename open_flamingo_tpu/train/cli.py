@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--freeze_lm_embeddings", action="store_true")
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over stacked layer groups "
+                        "(compile time O(1) in depth)")
     # training (train.py:78-132)
     p.add_argument("--num_epochs", type=int, default=1)
     p.add_argument("--steps_per_epoch", type=int, default=None)
@@ -66,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logging_steps", type=int, default=100)
     p.add_argument("--checkpoint_steps", type=int, default=0)
     p.add_argument("--report_to_wandb", action="store_true")
+    p.add_argument("--save_checkpoints_to_wandb", action="store_true",
+                   help="upload each checkpoint as a wandb artifact "
+                        "(train_utils.py:370-371)")
     p.add_argument("--wandb_project", default="open-flamingo-tpu")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of steps 2-5 here")
@@ -90,6 +96,8 @@ def main(argv: Optional[list] = None, *, model_override=None):
     from .train_loop import TrainLoopConfig, TrainState, make_train_step
 
     args = build_parser().parse_args(argv)
+    if args.save_checkpoints_to_wandb and not args.report_to_wandb:
+        raise ValueError("save_checkpoints_to_wandb requires report_to_wandb")
     dist = init_distributed_device()
     rank, world = dist["rank"], dist["world_size"]
 
@@ -104,6 +112,8 @@ def main(argv: Optional[list] = None, *, model_override=None):
             args.tokenizer_path,
             cross_attn_every_n_layers=args.cross_attn_every_n_layers,
             freeze_lm_embeddings=args.freeze_lm_embeddings,
+            gradient_checkpointing=args.gradient_checkpointing,
+            scan_layers=args.scan_layers,
             dtype=dtype,
             init_params=True,
             init_seed=args.seed,
@@ -246,6 +256,15 @@ def main(argv: Optional[list] = None, *, model_override=None):
                     args.run_name, state, epoch,
                     keep_last=1 if args.delete_previous_checkpoint else None,
                 )
+                if wandb and args.save_checkpoints_to_wandb:
+                    # Orbax checkpoints are directories; upload as an
+                    # artifact (reference: wandb.save of the .pt file,
+                    # train_utils.py:370-371)
+                    art = wandb.Artifact(
+                        f"checkpoint_{epoch}", type="checkpoint"
+                    )
+                    art.add_dir(f"{args.run_name}/checkpoint_{epoch}")
+                    wandb.log_artifact(art)
     return state
 
 
