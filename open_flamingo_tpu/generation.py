@@ -125,9 +125,12 @@ def beam_search(
     first_logits: jax.Array,
     cache: KVCache,
     cfg: GenerationConfig,
+    prompt_len: int = 0,
 ) -> jax.Array:
     """Standard length-penalized beam search (HF semantics: hypothesis
-    score = sum logprob / len**length_penalty at EOS or max length).
+    score = sum logprob / len**length_penalty at EOS or max length, where
+    len is the FULL decoder sequence incl. the (left-padded) prompt —
+    HF BeamHypotheses.add uses hyp.shape[-1]; pass prompt_len to match).
 
     first_logits: (B*K, V) — prompt already replicated beam-major
     (batch b's beams at rows b*K..b*K+K-1), as is the cache.
@@ -169,7 +172,7 @@ def beam_search(
         if eos is not None:
             is_eos = top_tok == eos
             # finished hypotheses: apply length penalty
-            lp = seq_len.astype(jnp.float32) ** cfg.length_penalty
+            lp = (prompt_len + seq_len).astype(jnp.float32) ** cfg.length_penalty
             cand_fin_scores = jnp.where(is_eos, top_scores / lp, NEG_INF)
             all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
             all_fin_seqs = jnp.concatenate([fin_seqs, new_seqs], axis=1)
@@ -215,7 +218,7 @@ def beam_search(
     )
 
     # finalize: live beams count as hypotheses at max length
-    lp = jnp.float32(L) ** cfg.length_penalty
+    lp = jnp.float32(prompt_len + L) ** cfg.length_penalty
     all_scores = jnp.concatenate([fin_scores, live_scores / lp], axis=1)
     all_seqs = jnp.concatenate([fin_seqs, live_seqs], axis=1)
     best = jnp.argmax(all_scores, axis=1)
@@ -273,5 +276,5 @@ def flamingo_generate(
         )
 
     if k > 1:
-        return beam_search(step_fn, first_logits, cache, cfg)
+        return beam_search(step_fn, first_logits, cache, cfg, prompt_len=t)
     return greedy_or_sample(step_fn, first_logits, cache, cfg, rng)
