@@ -146,7 +146,13 @@ class OpenFlamingoEvalModel(BaseEvalModel):
         class_chunk: int = 16,
     ) -> np.ndarray:
         """Returns (B, num_classes) mean (or sum) logprob of each class
-        name continuation given the context."""
+        name continuation given the context.
+
+        use_cache=True prefixes the context once and scores continuations
+        against the cached K/V (cache_media + precomputed pkvs,
+        models/open_flamingo.py:155-254); use_cache=False re-runs the full
+        forward over context+classname per class (the reference's
+        --no_caching_for_classification path, eval/evaluate.py:79,658)."""
         vision_x = self._prepare_images(batch_images)
         ids, mask = self._prepare_text(batch_text)
         b, t_ctx = ids.shape
@@ -164,6 +170,12 @@ class OpenFlamingoEvalModel(BaseEvalModel):
             self.params, vision_x, method=Flamingo.embed_vision
         )
         n_media = count_media(ids, self.model.cfg.media_token_id)
+
+        if not use_cache:
+            return self._rank_classifications_nocache(
+                ids, mask, latents, class_ids, class_mask,
+                normalize_length, class_chunk,
+            )
 
         # prefill context once (cache_media + precompute, flamingo.py:315)
         cache = KVCache.create(
@@ -205,6 +217,46 @@ class OpenFlamingoEvalModel(BaseEvalModel):
             ]
             rest = jnp.where(tmask[:, 1:] > 0, rest, 0.0)
             total = first * (tmask[:, 0] > 0) + rest.sum(-1)
+            lengths = tmask.sum(-1)
+            val = total / lengths if normalize_length else total
+            scores[:, start : start + c] = np.asarray(
+                val.reshape(b, c), np.float32
+            )
+        return scores
+
+    def _rank_classifications_nocache(
+        self, ids, mask, latents, class_ids, class_mask,
+        normalize_length: bool, class_chunk: int,
+    ) -> np.ndarray:
+        """Full forward over context+classname per class — no K/V reuse.
+        Same scores as the cached path (cumsum text_time at classname
+        positions equals the cached-media rule's media count)."""
+        b, t_ctx = ids.shape
+        n_classes, w = class_ids.shape
+        scores = np.zeros((b, n_classes), np.float32)
+        for start in range(0, n_classes, class_chunk):
+            chunk_ids = class_ids[start : start + class_chunk]
+            chunk_mask = class_mask[start : start + class_chunk]
+            c = chunk_ids.shape[0]
+            full_ids = jnp.concatenate(
+                [jnp.repeat(ids, c, axis=0), jnp.tile(chunk_ids, (b, 1))], axis=1
+            )
+            full_mask = jnp.concatenate(
+                [jnp.repeat(mask, c, axis=0), jnp.tile(chunk_mask, (b, 1))], axis=1
+            )
+            lat = jnp.repeat(latents, c, axis=0)
+            logits, _, _ = self.model.apply(
+                self.params, None, full_ids, full_mask, media_latents=lat
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            # classname token j is scored by the logits at position
+            # t_ctx - 1 + j (predicting it)
+            tok = full_ids[:, t_ctx:]                              # (B*C, W)
+            tmask = full_mask[:, t_ctx:]
+            pred = logp[:, t_ctx - 1 : t_ctx - 1 + w]
+            lp = jnp.take_along_axis(pred, tok[:, :, None], axis=-1)[..., 0]
+            lp = jnp.where(tmask > 0, lp, 0.0)
+            total = lp.sum(-1)
             lengths = tmask.sum(-1)
             val = total / lengths if normalize_length else total
             scores[:, start : start + c] = np.asarray(

@@ -3,10 +3,18 @@
 The reference scores captions with pycocoevalcap's COCOEvalCap
 (open_flamingo/eval/coco_metric.py:5-18); that package (and its Java PTB
 tokenizer) is not available here, so this is a from-the-paper
-implementation of CIDEr-D (Vedantam et al., CVPR 2015) with a PTB-like
-python tokenizer: n in 1..4, tf-idf with idf = log(N) - log(df),
-candidate-count clipping, length gaussian (sigma 6), x10 scaling,
-mean over n, mean over images.
+implementation of CIDEr-D (Vedantam et al., CVPR 2015): n in 1..4,
+tf-idf with idf = log(N) - log(max(1, df)), candidate-count clipping,
+length gaussian (sigma 6), x10 scaling, mean over n, mean over refs,
+mean over images.
+
+`tokenize` reproduces the PTB-tokenizer behavior CIDEr depends on
+(pycocoevalcap/tokenizer: Stanford PTBTokenizer + punctuation-token
+removal): lowercase; clitic splitting (don't -> do n't, dog's -> dog 's);
+hyphenated compounds stay ONE token; punctuation becomes standalone
+tokens which are then dropped (the PUNCTUATIONS list in
+ptbtokenizer.py). The previous regex tokenizer split hyphenated words
+and mangled contractions, changing n-gram statistics.
 """
 
 from __future__ import annotations
@@ -16,18 +24,31 @@ import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence
 
-_PUNCT = re.compile(
-    r"[\"'`‘’“”\.\?\!\,\:\;\)\(\[\]\{\}\-@#\$%\^&\*\+=/\\_~<>|]"
-)
-
 SIGMA = 6.0
 MAX_N = 4
+
+# pycocoevalcap ptbtokenizer.py PUNCTUATIONS (lowercased)
+_PUNCTUATIONS = {
+    "''", "'", "``", "`", "-lrb-", "-rrb-", "-lcb-", "-rcb-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+}
+
+# punctuation the PTB tokenizer separates from words (keeps word-internal
+# hyphens and apostrophes intact; clitics handled separately)
+_SEP_PUNCT = re.compile(r"([;@#$%&*()\[\]{}\"<>/\\|=+^~_.,:?!])")
 
 
 def tokenize(s: str) -> List[str]:
     s = s.lower().strip()
-    s = _PUNCT.sub(" ", s)
-    return s.split()
+    s = s.replace("...", " ... ")
+    s = re.sub(r"--+", " -- ", s)
+    s = _SEP_PUNCT.sub(r" \1 ", s)
+    # PTB clitics: n't and 's/'m/'d/'ll/'re/'ve split off their host word
+    s = re.sub(r"([a-z])n't\b", r"\1 n't", s)
+    s = re.sub(r"([a-z])'(s|m|d|ll|re|ve)\b", r"\1 '\2", s)
+    # a standalone hyphen between spaces is a punctuation token
+    s = re.sub(r"(^| )-( |$)", r"\1 - \2", s)
+    return [t for t in s.split() if t not in _PUNCTUATIONS]
 
 
 def _ngram_counts(tokens: Sequence[str]) -> List[Counter]:

@@ -1,81 +1,347 @@
-"""OK-VQA answer stemming.
+"""OK-VQA answer stemming (OKVQA v1.1 procedure).
 
-The reference postprocesses OK-VQA generations by lemmatizing/
-singularizing every word with spacy-like tagging plus ~170 manual
-overrides (open_flamingo/eval/ok_vqa_utils.py:15-215). Offline here, we
-use nltk's WordNet lemmatizer when its corpora are present and otherwise
-a rule-based singularizer with the common irregulars — same observable
-behavior on the benchmark's answer vocabulary.
+Mirrors open_flamingo/eval/ok_vqa_utils.py:15-215: per token,
+(1) the manual-override table wins (official task data, reproduced
+verbatim — it was derived from the released OKVQA dataset's
+raw_answers/answers fields and is required for score parity, like the
+VQA contraction tables); (2) words ending in "ing" get the WordNet VERB
+lemma; (3) plural nouns get inflection.singularize.
+
+nltk's corpora and the `inflection` package are unavailable offline, so:
+  * `singularize` reimplements the inflection.py (Rails) rule list —
+    a small public algorithm;
+  * the -ing lemmatizer applies WordNet morphy's verb substitutions
+    (ing->'' / ing->'e') with an embedded lexicon of common e-final
+    verbs standing in for the WordNet lexicon lookup;
+  * POS gating (NNS/NNPS) becomes a heuristic: s-final tokens that are
+    not function words / known non-plurals.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Optional
 
-IRREGULARS = {
-    "men": "man", "women": "woman", "children": "child", "teeth": "tooth",
-    "feet": "foot", "mice": "mouse", "geese": "goose", "people": "person",
-    "leaves": "leaf", "knives": "knife", "wolves": "wolf", "lives": "life",
-    "loaves": "loaf", "shelves": "shelf", "wives": "wife",
-    "oxen": "ox", "dice": "die",
+# ok_vqa_utils.py:15-184, verbatim (official OKVQA v1.1 task data)
+_MANUAL_MATCHES = {
+    "police": "police",
+    "las": "las",
+    "vegas": "vegas",
+    "yes": "yes",
+    "jeans": "jean",
+    "hell's": "hell",
+    "domino's": "domino",
+    "morning": "morn",
+    "clothes": "cloth",
+    "are": "are",
+    "riding": "ride",
+    "leaves": "leaf",
+    "dangerous": "danger",
+    "clothing": "cloth",
+    "texting": "text",
+    "kiting": "kite",
+    "firefighters": "firefight",
+    "ties": "tie",
+    "married": "married",
+    "teething": "teeth",
+    "gloves": "glove",
+    "tennis": "tennis",
+    "dining": "dine",
+    "directions": "direct",
+    "waves": "wave",
+    "christmas": "christmas",
+    "drives": "drive",
+    "pudding": "pud",
+    "coding": "code",
+    "plating": "plate",
+    "quantas": "quanta",
+    "hornes": "horn",
+    "graves": "grave",
+    "mating": "mate",
+    "paned": "pane",
+    "alertness": "alert",
+    "sunbathing": "sunbath",
+    "tenning": "ten",
+    "wetness": "wet",
+    "urinating": "urine",
+    "sickness": "sick",
+    "braves": "brave",
+    "firefighting": "firefight",
+    "lenses": "lens",
+    "reflections": "reflect",
+    "backpackers": "backpack",
+    "eatting": "eat",
+    "designers": "design",
+    "curiousity": "curious",
+    "playfulness": "play",
+    "blindness": "blind",
+    "hawke": "hawk",
+    "tomatoe": "tomato",
+    "rodeoing": "rodeo",
+    "brightness": "bright",
+    "circuses": "circus",
+    "skateboarders": "skateboard",
+    "staring": "stare",
+    "electronics": "electron",
+    "electicity": "elect",
+    "mountainous": "mountain",
+    "socializing": "social",
+    "hamburgers": "hamburg",
+    "caves": "cave",
+    "transitions": "transit",
+    "wading": "wade",
+    "creame": "cream",
+    "toileting": "toilet",
+    "sautee": "saute",
+    "buildings": "build",
+    "belongings": "belong",
+    "stockings": "stock",
+    "walle": "wall",
+    "cumulis": "cumuli",
+    "travelers": "travel",
+    "conducter": "conduct",
+    "browsing": "brows",
+    "pooping": "poop",
+    "haircutting": "haircut",
+    "toppings": "top",
+    "hearding": "heard",
+    "sunblocker": "sunblock",
+    "bases": "base",
+    "markings": "mark",
+    "mopeds": "mope",
+    "kindergartener": "kindergarten",
+    "pies": "pie",
+    "scrapbooking": "scrapbook",
+    "couponing": "coupon",
+    "meetings": "meet",
+    "elevators": "elev",
+    "lowes": "low",
+    "men's": "men",
+    "childrens": "children",
+    "shelves": "shelve",
+    "paintings": "paint",
+    "raines": "rain",
+    "paring": "pare",
+    "expressions": "express",
+    "routes": "rout",
+    "pease": "peas",
+    "vastness": "vast",
+    "awning": "awn",
+    "boy's": "boy",
+    "drunkenness": "drunken",
+    "teasing": "teas",
+    "conferences": "confer",
+    "ripeness": "ripe",
+    "suspenders": "suspend",
+    "earnings": "earn",
+    "reporters": "report",
+    "kid's": "kid",
+    "containers": "contain",
+    "corgie": "corgi",
+    "porche": "porch",
+    "microwaves": "microwave",
+    "batter's": "batter",
+    "sadness": "sad",
+    "apartments": "apart",
+    "oxygenize": "oxygen",
+    "striping": "stripe",
+    "purring": "pure",
+    "professionals": "profession",
+    "piping": "pipe",
+    "farmer's": "farmer",
+    "potatoe": "potato",
+    "emirates": "emir",
+    "womens": "women",
+    "veteran's": "veteran",
+    "wilderness": "wilder",
+    "propellers": "propel",
+    "alpes": "alp",
+    "charioteering": "chariot",
+    "swining": "swine",
+    "illness": "ill",
+    "crepte": "crept",
+    "adhesives": "adhesive",
+    "regent's": "regent",
+    "decorations": "decor",
+    "rabbies": "rabbi",
+    "overseas": "oversea",
+    "travellers": "travel",
+    "casings": "case",
+    "smugness": "smug",
+    "doves": "dove",
+    "nationals": "nation",
+    "mustange": "mustang",
+    "ringe": "ring",
+    "gondoliere": "gondolier",
+    "vacationing": "vacate",
+    "reminders": "remind",
+    "baldness": "bald",
+    "settings": "set",
+    "glaced": "glace",
+    "coniferous": "conifer",
+    "revelations": "revel",
+    "personals": "person",
+    "daughter's": "daughter",
+    "badness": "bad",
+    "projections": "project",
+    "polarizing": "polar",
+    "vandalizers": "vandal",
+    "minerals": "miner",
+    "protesters": "protest",
+    "controllers": "control",
+    "weddings": "wed",
+    "sometimes": "sometime",
+    "earing": "ear",
 }
 
-UNCHANGED = {
-    "gas", "bus", "glass", "grass", "class", "pants", "scissors", "lens",
-    "series", "species", "news", "molasses", "chess", "dress", "princess",
-    "tennis", "analysis", "basis", "this", "is", "its", "his", "hers",
-    "was", "as", "yes", "does", "goes", "downstairs", "upstairs",
-    "christmas", "always", "sometimes", "perhaps", "plus", "canvas",
-    "asparagus", "hummus", "octopus", "cactus", "citrus", "waitress",
-    "mattress", "address", "purchase", "chase", "cheese", "goose",
-    "mouse", "house", "horse", "blouse", "purse", "nurse", "course",
+# ---- inflection.singularize (public Rails-derived rule list) ---------------
+
+_SINGULAR_RULES = [
+    (r"(?i)(database)s$", r"\1"),
+    (r"(?i)(quiz)zes$", r"\1"),
+    (r"(?i)(matr)ices$", r"\1ix"),
+    (r"(?i)(vert|ind)ices$", r"\1ex"),
+    (r"(?i)^(ox)en", r"\1"),
+    (r"(?i)(alias|status)(es)?$", r"\1"),
+    (r"(?i)(octop|vir)(us|i)$", r"\1us"),
+    (r"(?i)^(a)x[ie]s$", r"\1xis"),
+    (r"(?i)(cris|test)(is|es)$", r"\1is"),
+    (r"(?i)(shoe)s$", r"\1"),
+    (r"(?i)(o)es$", r"\1"),
+    (r"(?i)(bus)(es)?$", r"\1"),
+    (r"(?i)^(m|l)ice$", r"\1ouse"),
+    (r"(?i)(x|ch|ss|sh)es$", r"\1"),
+    (r"(?i)(m)ovies$", r"\1ovie"),
+    (r"(?i)(s)eries$", r"\1eries"),
+    (r"(?i)([^aeiouy]|qu)ies$", r"\1y"),
+    (r"(?i)([lr])ves$", r"\1f"),
+    (r"(?i)(tive)s$", r"\1"),
+    (r"(?i)(hive)s$", r"\1"),
+    (r"(?i)([^f])ves$", r"\1fe"),
+    (r"(?i)(t)he(sis|ses)$", r"\1hesis"),
+    (r"(?i)(s)ynop(sis|ses)$", r"\1ynopsis"),
+    (r"(?i)(p)rogno(sis|ses)$", r"\1rognosis"),
+    (r"(?i)(p)arenthe(sis|ses)$", r"\1arenthesis"),
+    (r"(?i)(d)iagno(sis|ses)$", r"\1iagnosis"),
+    (r"(?i)(b)a(sis|ses)$", r"\1asis"),
+    (r"(?i)(analy)(sis|ses)$", r"\1sis"),
+    (r"(?i)([ti])a$", r"\1um"),
+    (r"(?i)(n)ews$", r"\1ews"),
+    (r"(?i)(ss)$", r"\1"),
+    (r"(?i)s$", ""),
+]
+
+_SINGULAR_IRREGULAR = [
+    (r"(?i)(p)eople$", r"\1erson"),
+    (r"(?i)(m)en$", r"\1an"),
+    (r"(?i)(c)hildren$", r"\1hild"),
+    (r"(?i)(s)exes$", r"\1ex"),
+    (r"(?i)(m)oves$", r"\1ove"),
+    (r"(?i)(z)ombies$", r"\1ombie"),
+]
+
+_UNCOUNTABLE = {
+    "equipment", "fish", "information", "jeans", "money",
+    "rice", "series", "sheep", "species",
 }
-
-_lemmatizer = None
-
-
-def _nltk_lemma(word: str) -> Optional[str]:
-    global _lemmatizer
-    if _lemmatizer is None:
-        try:
-            from nltk.stem import WordNetLemmatizer
-
-            lem = WordNetLemmatizer()
-            lem.lemmatize("tests")  # force corpus load; raises offline
-            _lemmatizer = lem
-        except Exception:
-            _lemmatizer = False
-    if _lemmatizer:
-        try:
-            return _lemmatizer.lemmatize(word)
-        except Exception:
-            return None
-    return None
 
 
 def singularize(word: str) -> str:
-    w = word.lower()
-    if w in IRREGULARS:
-        return IRREGULARS[w]
-    if w in UNCHANGED or len(w) <= 3 or not w.endswith("s"):
+    if word.lower() in _UNCOUNTABLE:
         return word
-    got = _nltk_lemma(w)
-    if got is not None:
-        return got
-    if w.endswith("ies") and len(w) > 4:
-        return w[:-3] + "y"
-    if w.endswith(("ches", "shes", "xes", "sses", "zes")):
-        return w[:-2]
-    if w.endswith("ss"):
-        return w
-    return w[:-1]
+    for rule, repl in _SINGULAR_IRREGULAR + _SINGULAR_RULES:
+        if re.search(rule, word):
+            return re.sub(rule, repl, word)
+    return word
+
+
+# ---- WordNet-morphy-like verb lemmatizer for -ing forms --------------------
+
+# common verbs whose base form ends in e: stands in for the WordNet verb
+# lexicon lookup in morphy's ing->e substitution.
+_E_VERBS = {
+    "make", "take", "give", "ride", "write", "drive", "smile", "dance",
+    "bake", "race", "serve", "love", "hope", "live", "move", "use",
+    "come", "have", "hike", "bike", "skate", "slide", "glide", "dive",
+    "wave", "save", "shave", "share", "stare", "care", "pose", "close",
+    "dine", "shine", "wine", "tape", "shape", "escape", "hide", "rise",
+    "raise", "praise", "browse", "surprise", "exercise", "note", "vote",
+    "skydive", "smoke", "joke", "poke", "rake", "wake", "bathe",
+    "breathe", "tie", "die", "lie", "charge", "change", "lunge",
+    "plunge", "lounge", "graze", "gaze", "blaze", "freeze", "sneeze",
+    "squeeze", "wade", "trade", "invade", "parade", "decorate",
+    "celebrate", "skateboarde",  # never hit; keeps set non-ambiguous
+}
+_E_VERBS.discard("skateboarde")
+
+_VOWELS = set("aeiou")
+
+
+def _lemmatize_ing(word: str) -> str:
+    """morphy verb substitutions ing->'' and ing->'e', choosing the
+    candidate a WordNet lexicon lookup would accept."""
+    if len(word) <= 4 or not word.endswith("ing"):
+        return word
+    base = word[:-3]
+    if base + "e" in _E_VERBS:
+        return base + "e"
+    # CVC doubling: running -> run (but not for l-l words like falling,
+    # or s/z which double orthographically: hissing, buzzing)
+    if (
+        len(base) >= 3
+        and base[-1] == base[-2]
+        and base[-1] not in _VOWELS
+        and base[-1] not in "lszf"
+    ):
+        return base[:-1]
+    return base
+
+
+# ---- heuristic NNS/NNPS gate ------------------------------------------------
+
+# s-final words nltk's tagger would NOT tag as plural nouns (verbs,
+# adverbs, pronouns, adjectives, mass nouns common in VQA answers)
+_NOT_PLURAL = {
+    "is", "was", "has", "does", "goes", "says", "its", "his", "hers",
+    "this", "thus", "as", "us", "plus", "minus", "versus", "perhaps",
+    "always", "besides", "various", "previous", "serious", "obvious",
+    "delicious", "famous", "nervous", "curious", "enormous", "jealous",
+    "anonymous", "gas", "bus", "glass", "grass", "class", "chess",
+    "dress", "press", "less", "unless", "across", "tennis", "analysis",
+    "basis", "news", "molasses",
+}
+
+
+# irregular plurals nltk would tag NNS despite no s-ending
+_IRREGULAR_PLURALS = {
+    "children", "men", "women", "mice", "geese", "people", "oxen",
+    "teeth", "feet",
+}
+
+
+def _is_plural_noun(word: str) -> bool:
+    w = word.lower()
+    if w in _IRREGULAR_PLURALS:
+        return True
+    if not w.endswith("s") or len(w) <= 2:
+        return False
+    if w in _NOT_PLURAL or w.endswith(("ness", "ous", "ss", "'s")):
+        return False
+    return True
+
+
+def stem_word(word: str, force_noun: bool = False) -> str:
+    if word in _MANUAL_MATCHES:
+        return _MANUAL_MATCHES[word]
+    if word.endswith("ing"):
+        return _lemmatize_ing(word)
+    if force_noun or _is_plural_noun(word):
+        return singularize(word)
+    return word
 
 
 def stem_answer(answer: str) -> str:
-    """Singularize each token (ok_vqa_utils.postprocess_ok_vqa_generation
-    semantics)."""
-    return " ".join(singularize(t) for t in answer.split())
+    """OKVQAStemmer.stem semantics (ok_vqa_utils.py:187-208)."""
+    return " ".join(stem_word(t) for t in answer.split())
 
 
 def postprocess_ok_vqa_generation(prediction: str) -> str:

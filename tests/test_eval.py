@@ -105,6 +105,32 @@ def test_rank_classification_matches_bruteforce(eval_setup, rng):
             np.testing.assert_allclose(scores[bi, ci], want, atol=2e-4)
 
 
+def test_rank_classification_nocache_matches_cached(eval_setup, rng):
+    """--no_caching_for_classification path must score identically to the
+    cached path (reference evaluate.py:79,658)."""
+    em, _ = eval_setup
+    classes = ["cat", "dog house", "green bird"]
+    texts = [em.get_imagenet_prompt(), em.get_imagenet_prompt()]
+    images = [[_pil_image(rng)], [_pil_image(rng)]]
+    cached = em.get_rank_classifications(
+        texts, images, classes, use_cache=True, normalize_length=True,
+        class_chunk=2,
+    )
+    nocache = em.get_rank_classifications(
+        texts, images, classes, use_cache=False, normalize_length=True,
+        class_chunk=2,
+    )
+    np.testing.assert_allclose(nocache, cached, atol=2e-4)
+    # and with sum (normalize_length=False) too
+    cached_s = em.get_rank_classifications(
+        texts, images, classes, use_cache=True, normalize_length=False,
+    )
+    nocache_s = em.get_rank_classifications(
+        texts, images, classes, use_cache=False, normalize_length=False,
+    )
+    np.testing.assert_allclose(nocache_s, cached_s, atol=2e-4)
+
+
 def _make_caption_data(tmp_path, rng, n_train=8, n_test=4):
     import os
 

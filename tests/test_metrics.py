@@ -49,7 +49,6 @@ def test_vqa_accuracy_official_semantics():
     # subsets dropping a "yes" see 2 matches (2/3), others see 3 (1.0)
     gts = ["yes"] * 3 + ["no"] * 7
     acc = vqa_accuracy("yes", gts)
-    assert abs(acc - (3 * (2 / 3) + 7 * 1.0 * 0) / 10 - 0.7 * 0) < 1 or True
     expected = (3 * min(2 / 3, 1) + 7 * min(3 / 3, 1)) / 10
     assert abs(acc - expected) < 1e-9
 
@@ -71,6 +70,120 @@ def test_postprocessors():
     assert stem_answer("children") == "child"
     assert stem_answer("glass") == "glass"
     assert stem_answer("berries") in ("berry", "berries")
+
+
+def test_ptb_tokenizer_golden():
+    """PTB-tokenizer semantics CIDEr depends on (pycocoevalcap
+    ptbtokenizer.py): clitic splits, hyphenated compounds kept whole,
+    punctuation tokens dropped."""
+    from open_flamingo_tpu.eval.metrics.cider import tokenize
+
+    assert tokenize("A well-known dog doesn't run.") == [
+        "a", "well-known", "dog", "does", "n't", "run",
+    ]
+    assert tokenize("the dog's toy, isn't it?") == [
+        "the", "dog", "'s", "toy", "is", "n't", "it",
+    ]
+    assert tokenize("I'm sure they're 2.5 m tall...") == [
+        "i", "'m", "sure", "they", "'re", "2", "5", "m", "tall",
+    ]
+    assert tokenize("red - blue -- green") == ["red", "blue", "green"]
+    assert tokenize("we'll we've we'd") == [
+        "we", "'ll", "we", "'ve", "we", "'d",
+    ]
+
+
+def test_cider_golden_values():
+    """Analytic CIDEr-D values (Vedantam et al. 2015 / pycocoevalcap
+    cider_scorer.py semantics). Perfect match with df=1 everywhere gives
+    val=1 per n -> 10.0; sentences shorter than n leave that n at 0."""
+    # 5-gram-free perfect match: length 5 fills n=1..4 -> exactly 10
+    refs = {
+        "1": ["a b c d e"],
+        "2": ["v w x y z"],
+    }
+    cands = {"1": "a b c d e", "2": "v w x y z"}
+    np.testing.assert_allclose(cider_d(cands, refs), 10.0, atol=1e-12)
+
+    # length-2 perfect match: only n=1,2 populated -> 10 * 2/4 = 5
+    refs2 = {"1": ["a b"], "2": ["c d"]}
+    cands2 = {"1": "a b", "2": "c d"}
+    np.testing.assert_allclose(cider_d(cands2, refs2), 5.0, atol=1e-12)
+
+    # disjoint vocab -> 0
+    cands3 = {"1": "q r s t", "2": "m n o p"}
+    np.testing.assert_allclose(cider_d(cands3, refs), 0.0, atol=1e-12)
+
+    # hand-computed partial overlap with length gaussian:
+    # cand "a b" vs ref "a b c d e": unigram overlap {a,b} (df=1 each,
+    # idf=log2); clip min(w_c,w_r)=log2^2 * 2 terms; norms: cand sqrt(2)
+    # log2, ref sqrt(5) log2 -> val1 = 2/(sqrt(2)sqrt(5));
+    # bigram: {ab} -> 1/(1*2) ... norms: cand 1 ngram (log2), ref 4
+    # ngrams (2 log2) -> val2 = log2^2/(log2*2log2) = 1/2;
+    # n=3: cand has no 3-grams -> 0; n=4 -> 0.
+    # gaussian: delta=2-5=-3 -> exp(-9/72); score = 10 * g *
+    # (val1+val2)/4
+    import math
+
+    refs4 = {"1": ["a b c d e"], "2": ["v w x y z"]}
+    cands4 = {"1": "a b", "2": "v w x y z"}
+    g = math.exp(-9.0 / (2 * 36.0))
+    val1 = 2.0 / (math.sqrt(2) * math.sqrt(5))
+    val2 = 0.5
+    want_1 = 10.0 * g * (val1 + val2) / 4.0
+    want = (want_1 + 10.0) / 2.0
+    np.testing.assert_allclose(cider_d(cands4, refs4), want, rtol=1e-12)
+
+
+def test_ok_vqa_stemmer_golden():
+    """Golden values mirroring OKVQAStemmer (ok_vqa_utils.py:187-208):
+    manual table wins, -ing takes the verb lemma, plural nouns
+    singularize per the inflection rule list."""
+    from open_flamingo_tpu.eval.metrics.ok_vqa_stem import (
+        postprocess_ok_vqa_generation,
+        singularize,
+        stem_answer,
+    )
+
+    # manual-override table entries (verbatim task data)
+    assert stem_answer("riding") == "ride"
+    assert stem_answer("clothes") == "cloth"
+    assert stem_answer("christmas") == "christmas"
+    assert stem_answer("firefighters") == "firefight"
+    assert stem_answer("men's") == "men"
+    assert stem_answer("dangerous") == "danger"
+    assert stem_answer("buildings") == "build"
+    # -ing -> wordnet verb lemma
+    assert stem_answer("running") == "run"
+    assert stem_answer("sitting") == "sit"
+    assert stem_answer("making") == "make"
+    assert stem_answer("eating") == "eat"
+    assert stem_answer("surfing") == "surf"
+    assert stem_answer("skiing") == "ski"
+    # NNS -> inflection.singularize
+    assert stem_answer("dogs") == "dog"
+    assert stem_answer("buses") == "bus"
+    assert stem_answer("boxes") == "box"
+    assert stem_answer("knives") == "knife"
+    assert stem_answer("wolves") == "wolf"
+    assert stem_answer("children") == "child"
+    assert stem_answer("people") == "person"
+    assert stem_answer("mice") == "mouse"
+    # not plural nouns: unchanged
+    assert stem_answer("is") == "is"
+    assert stem_answer("glass") == "glass"
+    assert stem_answer("famous") == "famous"
+    # inflection rule-list spot checks
+    assert singularize("matrices") == "matrix"
+    assert singularize("statuses") == "status"
+    assert singularize("movies") == "movie"
+    assert singularize("series") == "series"
+    # multi-word + the postprocess split
+    assert stem_answer("riding horses") == "ride horse"
+    assert (
+        postprocess_ok_vqa_generation("riding horses, maybe Question junk")
+        == "ride horse"
+    )
 
 
 def test_roc_auc():
