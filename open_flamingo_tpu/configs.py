@@ -11,6 +11,15 @@ from .models.vit import VisionConfig
 VIT_L_14 = VisionConfig(
     image_size=224, patch_size=14, hidden_size=1024, num_layers=24,
     num_heads=16, intermediate_size=4096, hidden_act="quick_gelu",
+    projection_dim=768,
+)
+
+# OpenAI CLIP ViT-B/32 — the default RICES retrieval encoder
+# (open_flamingo/eval/rices.py:14); encode_image output width 512.
+VIT_B_32 = VisionConfig(
+    image_size=224, patch_size=32, hidden_size=768, num_layers=12,
+    num_heads=12, intermediate_size=3072, hidden_act="quick_gelu",
+    projection_dim=512,
 )
 
 # mosaicml/mpt-1b-redpajama-200b (d_model 2048, 24 layers, 16 heads)

@@ -24,6 +24,7 @@ def vision_config_from_hf(hf_config) -> VisionConfig:
         intermediate_size=hf_config.intermediate_size,
         layer_norm_eps=hf_config.layer_norm_eps,
         hidden_act=hf_config.hidden_act,
+        projection_dim=getattr(hf_config, "projection_dim", None),
     )
 
 
@@ -46,6 +47,15 @@ def convert_clip_vision_params(
             }
         return _convert_open_clip(sd, cfg)
     return _convert_hf(sd, cfg)
+
+
+def _maybe_proj(params, sd, key, transpose):
+    """Visual projection (open_clip `visual.proj` is (D, proj); HF
+    CLIPModel `visual_projection.weight` is nn.Linear (proj, D))."""
+    if key in sd:
+        w = np.asarray(sd[key])
+        params["proj"] = _t(w) if transpose else w
+    return params
 
 
 def _convert_hf(sd, cfg):
@@ -76,9 +86,9 @@ def _convert_hf(sd, cfg):
             "fc1": _linear(sd, b + "mlp.fc1"),
             "fc2": _linear(sd, b + "mlp.fc2"),
         }
-    if cfg.post_ln_tokens:
+    if cfg.post_ln_tokens or "visual_projection.weight" in sd:
         params["post_layernorm"] = _ln(sd, pre + "post_layernorm")
-    return params
+    return _maybe_proj(params, sd, "visual_projection.weight", transpose=True)
 
 
 def _convert_open_clip(sd, cfg):
@@ -105,6 +115,6 @@ def _convert_open_clip(sd, cfg):
             "fc1": _linear(sd, b + "mlp.c_fc"),
             "fc2": _linear(sd, b + "mlp.c_proj"),
         }
-    if cfg.post_ln_tokens:
+    if cfg.post_ln_tokens or "proj" in sd:
         params["post_layernorm"] = _ln(sd, "ln_post")
-    return params
+    return _maybe_proj(params, sd, "proj", transpose=False)

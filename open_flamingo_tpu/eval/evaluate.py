@@ -324,6 +324,12 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--query_set_size", type=int, default=2048)
     p.add_argument("--rices", action="store_true")
+    p.add_argument("--rices_vision_encoder_path", default="ViT-B-32",
+                   help="separate CLIP encoder for retrieval "
+                        "(evaluate.py:94-99)")
+    p.add_argument("--rices_vision_encoder_pretrained", default="openai",
+                   help="weights for the retrieval encoder: a local "
+                        ".pt/HF-dir path (no network here)")
     p.add_argument("--cached_demonstration_features", default=None)
     p.add_argument("--no_caching_for_classification", action="store_true",
                    help="skip K/V caching for classification evals "
@@ -419,6 +425,15 @@ def main(argv=None, *, eval_model=None):
             )
         eval_model = OpenFlamingoEvalModel(model, params, image_processor, tokenizer)
 
+    rices_encoder = None
+    if args.rices:
+        from .rices import create_retrieval_encoder
+
+        rices_encoder = create_retrieval_encoder(
+            args.rices_vision_encoder_path,
+            args.rices_vision_encoder_pretrained,
+        )
+
     def make_rices(train_dataset, name):
         """RICES retriever over the demo pool (evaluate.py:795-806);
         reuses cached features when --cached_demonstration_features points
@@ -440,9 +455,8 @@ def main(argv=None, *, eval_model=None):
                 cached = np.load(path)
         return RICES(
             train_dataset,
-            eval_model.model,
-            eval_model.params,
-            eval_model.image_processor,
+            rices_encoder,
+            batch_size=args.batch_size,
             cached_features=cached,
         )
 

@@ -27,6 +27,7 @@ from .tokenization import SimpleTokenizer, prepare_hf_tokenizer
 
 _VISION_REGISTRY = {
     "ViT-L-14": _configs.VIT_L_14,
+    "ViT-B-32": _configs.VIT_B_32,
 }
 
 _LM_REGISTRY = {

@@ -38,6 +38,11 @@ class VisionConfig:
     # output_tokens semantics — what Flamingo consumes). False: raw encoder
     # output (HF CLIPVisionModel last_hidden_state).
     post_ln_tokens: bool = True
+    # CLIP visual projection width (open_clip `visual.proj` / HF
+    # visual_projection). Needed for encode_image-style pooled features
+    # (RICES retrieval, open_flamingo/eval/rices.py:58); None for towers
+    # only consumed as patch tokens.
+    projection_dim: Any = None
 
     @property
     def grid(self) -> int:
@@ -88,14 +93,22 @@ class ViTBlock(nn.Module):
 
 
 class VisionTransformer(nn.Module):
-    """pixel_values (B, H, W, C) NHWC -> patch tokens (B, num_patches, D)."""
+    """pixel_values (B, H, W, C) NHWC -> patch tokens (B, num_patches, D).
+
+    output="projected" returns open_clip encode_image semantics instead:
+    ln_post(CLS) @ proj, unit-normalized by the caller — the embedding
+    RICES retrieval uses (reference eval/rices.py:58). Requires
+    cfg.projection_dim; the "proj" param is only created when this path
+    is traced (init with output="projected" to get it)."""
 
     cfg: VisionConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixel_values: jax.Array) -> jax.Array:
+    def __call__(
+        self, pixel_values: jax.Array, *, output: str = "tokens"
+    ) -> jax.Array:
         cfg = self.cfg
         b, hh, ww, c = pixel_values.shape
         p, g = cfg.patch_size, cfg.grid
@@ -140,6 +153,17 @@ class VisionTransformer(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
             )(x)
+
+        if output == "projected":
+            assert cfg.projection_dim, "projection_dim required for encode_image"
+            pooled = nn.LayerNorm(**ln, name="post_layernorm")(x[:, 0])
+            proj = self.param(
+                "proj",
+                nn.initializers.normal(stddev=cfg.hidden_size**-0.5),
+                (cfg.hidden_size, cfg.projection_dim),
+                self.param_dtype,
+            )
+            return pooled @ proj.astype(self.dtype)
 
         if cfg.post_ln_tokens:
             x = nn.LayerNorm(**ln, name="post_layernorm")(x)

@@ -15,7 +15,9 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--output_dir", required=True)
-    p.add_argument("--vision_encoder_path", default="ViT-L-14")
+    p.add_argument("--vision_encoder_path", default="ViT-B-32")
+    p.add_argument("--vision_encoder_pretrained", default="openai",
+                   help="local .pt/HF-dir weights for the retrieval encoder")
     p.add_argument("--lm_path", default="mosaicml/mpt-1b-redpajama-200b")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--dataset_name", required=True,
@@ -30,12 +32,11 @@ def main(argv=None):
     p.add_argument("--imagenet_root", default=None)
     args = p.parse_args(argv)
 
-    from ..factory import create_model_and_transforms
-    from ..eval.rices import RICES
+    from ..eval.rices import RICES, create_retrieval_encoder
     from ..eval import eval_datasets as D
 
-    model, params, image_processor, _ = create_model_and_transforms(
-        args.vision_encoder_path, "openai", args.lm_path, init_params=True
+    encoder = create_retrieval_encoder(
+        args.vision_encoder_path, args.vision_encoder_pretrained
     )
 
     if args.dataset_name in ("coco", "flickr"):
@@ -55,7 +56,7 @@ def main(argv=None):
             args.image_dir_path, args.annotations_json_path
         )
 
-    rices = RICES(ds, model, params, image_processor, batch_size=args.batch_size)
+    rices = RICES(ds, encoder, batch_size=args.batch_size)
     os.makedirs(args.output_dir, exist_ok=True)
     out = os.path.join(args.output_dir, f"{args.dataset_name}.npy")
     rices.save_features(out)
