@@ -65,14 +65,30 @@ def make_mesh(
         raise ValueError(f"mesh needs {cfg.num_devices} devices, have {n}")
 
     if num_slices > 1:
-        from jax.experimental import mesh_utils
-
-        assert cfg.replica % num_slices == 0
-        dev_array = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(cfg.replica // num_slices, cfg.fsdp, cfg.model),
-            dcn_mesh_shape=(num_slices, 1, 1),
-            devices=devices,
+        assert cfg.replica % num_slices == 0, (
+            f"replica={cfg.replica} must be divisible by "
+            f"num_slices={num_slices}: the DCN axis carries pure data "
+            f"parallelism (HYBRID_SHARD outer group)"
         )
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(cfg.replica // num_slices, cfg.fsdp, cfg.model),
+                dcn_mesh_shape=(num_slices, 1, 1),
+                devices=devices,
+            )
+            dev_array = dev_array.reshape(cfg.replica, cfg.fsdp, cfg.model)
+        except ValueError:
+            # virtual/CPU devices carry no slice_index attribute; emulate
+            # the hybrid layout: contiguous groups of n/num_slices devices
+            # form a slice, the replica axis spans slices first.
+            dev_array = (
+                np.asarray(devices)
+                .reshape(num_slices, cfg.replica // num_slices,
+                         cfg.fsdp, cfg.model)
+                .reshape(cfg.replica, cfg.fsdp, cfg.model)
+            )
     else:
         dev_array = np.asarray(devices).reshape(cfg.replica, cfg.fsdp, cfg.model)
     return Mesh(dev_array, AXES)

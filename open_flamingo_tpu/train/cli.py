@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_fsdp", type=int, default=0,
                    help="0 = all remaining devices")
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_num_slices", type=int, default=1,
+                   help="multi-slice (DCN) topologies: replica axis spans "
+                        "slices (HYBRID_SHARD equivalent, train.py:329-347)")
     # logging
     p.add_argument("--logging_steps", type=int, default=100)
     p.add_argument("--checkpoint_steps", type=int, default=0)
@@ -123,7 +126,8 @@ def main(argv: Optional[list] = None, *, model_override=None):
     n_dev = len(jax.devices())
     fsdp = args.mesh_fsdp or n_dev // (args.mesh_replica * args.mesh_model)
     mesh = make_mesh(
-        MeshConfig(replica=args.mesh_replica, fsdp=fsdp, model=args.mesh_model)
+        MeshConfig(replica=args.mesh_replica, fsdp=fsdp, model=args.mesh_model),
+        num_slices=args.mesh_num_slices,
     )
 
     train, frozen = split_params(params, args.freeze_lm_embeddings)

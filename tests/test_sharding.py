@@ -97,6 +97,55 @@ def test_sharded_train_step(rng):
     )
 
 
+def test_multislice_mesh_train_step(rng):
+    """HYBRID_SHARD equivalent (train.py:329-347): replica axis spans 2
+    virtual slices over DCN, fsdp/model ride ICI within a slice. Loss and
+    updates must match the single-slice mesh."""
+    mesh_1 = make_mesh(MeshConfig(replica=2, fsdp=2, model=2))
+    mesh_2 = make_mesh(MeshConfig(replica=2, fsdp=2, model=2), num_slices=2)
+    assert mesh_2.shape == {"replica": 2, "fsdp": 2, "model": 2}
+
+    model = tiny_flamingo()
+    vision_x = jnp.asarray(rng.normal(size=(B, 1, 1, 14, 14, 3)), jnp.float32)
+    ids = rng.integers(7, VOCAB, size=(B, 10))
+    ids[:, 0] = MEDIA
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+    variables = model.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    train, frozen = split_params(variables)
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, warmup_steps=0),
+        media_token_id=MEDIA, eoc_token_id=EOC,
+    )
+    step = make_train_step(model, tx, TrainLoopConfig(pad_token_id=PAD))
+    batch = {"vision_x": vision_x, "input_ids": ids, "attention_mask": mask}
+
+    losses = []
+    for mesh in (mesh_1, mesh_2):
+        train_s = shard_params(train, mesh)
+        frozen_s = shard_params(frozen, mesh)
+        batch_s = {
+            k: jax.device_put(
+                v,
+                NamedSharding(mesh, P(("replica", "fsdp"), *([None] * (v.ndim - 1)))),
+            )
+            for k, v in batch.items()
+        }
+        with jax.set_mesh(mesh):
+            _, metrics = jax.jit(step)(
+                TrainState.create(train_s, tx), frozen_s, batch_s, batch_s
+            )
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=2e-5)
+
+
+def test_multislice_requires_divisible_replica():
+    import pytest
+
+    with pytest.raises(AssertionError, match="divisible"):
+        make_mesh(MeshConfig(replica=1, fsdp=4, model=2), num_slices=2)
+
+
 def test_param_pspecs_shapes(rng):
     mesh = make_mesh(MeshConfig(fsdp=4, model=2))
     model = tiny_flamingo()

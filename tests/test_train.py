@@ -122,6 +122,57 @@ def test_train_step_decreases_loss_and_respects_freezing(rng):
     assert np.abs(np.asarray(state.params[gate_key])).max() > 0
 
 
+def test_gradient_accumulation_equals_big_batch(rng):
+    """optax.MultiSteps over k micro-batches must produce the same update
+    as one k-sized batch step (reference grad-accum semantics,
+    train_utils.py:117,211-216)."""
+    import optax
+
+    model, variables, batch = _setup(rng)
+    train, frozen = split_params(variables)
+    opt_cfg = OptimizerConfig(learning_rate=3e-3, warmup_steps=0,
+                              weight_decay=0.1)
+    cfg = TrainLoopConfig(pad_token_id=PAD)
+
+    # two distinct micro-batches (different ids) + their concatenation
+    ids2 = np.asarray(batch["input_ids"]).copy()
+    ids2[:, -3:] = (ids2[:, -3:] + 1) % (VOCAB - 8) + 7
+    micro2 = {
+        "vision_x": batch["vision_x"],
+        "input_ids": jnp.asarray(ids2),
+        "attention_mask": batch["attention_mask"],
+    }
+    big = {
+        k: jnp.concatenate([batch[k], micro2[k]], axis=0) for k in batch
+    }
+
+    tx_big = make_optimizer(opt_cfg, media_token_id=MEDIA, eoc_token_id=EOC)
+    step_big = jax.jit(make_train_step(model, tx_big, cfg))
+    state_big, _ = step_big(TrainState.create(train, tx_big), frozen, big, big)
+
+    tx_acc = optax.MultiSteps(
+        make_optimizer(opt_cfg, media_token_id=MEDIA, eoc_token_id=EOC),
+        every_k_schedule=2,
+    )
+    step_acc = jax.jit(make_train_step(model, tx_acc, cfg))
+    state_acc = TrainState.create(train, tx_acc)
+    state_acc, _ = step_acc(state_acc, frozen, batch, batch)
+    # first micro-step: params must NOT have moved yet
+    gate_key = next(k for k in train if k[-1] == "attn_gate")
+    np.testing.assert_array_equal(
+        np.asarray(state_acc.params[gate_key]), np.asarray(train[gate_key])
+    )
+    state_acc, _ = step_acc(state_acc, frozen, micro2, micro2)
+
+    for k in train:
+        np.testing.assert_allclose(
+            np.asarray(state_acc.params[k]),
+            np.asarray(state_big.params[k]),
+            atol=1e-6,
+            err_msg="/".join(k),
+        )
+
+
 def test_nan_skip(rng):
     model, variables, batch = _setup(rng)
     train, frozen = split_params(variables)
