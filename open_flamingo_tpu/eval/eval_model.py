@@ -181,9 +181,19 @@ class OpenFlamingoEvalModel(BaseEvalModel):
         cache = KVCache.create(
             self.model.cfg.lm, b, t_ctx + w, dtype=self.model.dtype
         )
-        ctx_logits, _, cache = self.model.apply(
-            self.params, None, ids, mask, media_latents=latents, cache=cache
+        (ctx_logits, _, cache), variables = self.model.apply(
+            self.params, None, ids, mask, media_latents=latents, cache=cache,
+            mutable=["media_kv"],
         )
+        if not self.model.cfg.scan_layers:
+            # reuse the projected media K/V for every classname chunk (the
+            # per-batch tiling below repeats any leading-B cache array; the
+            # scanned layout's leading axis is the group, so skip it there)
+            from ..models.lm import extract_media_kv
+
+            cache = cache.replace(
+                media=extract_media_kv(variables, scan_layers=False)
+            )
         last_logp = jax.nn.log_softmax(ctx_logits[:, -1].astype(jnp.float32), -1)
 
         scores = np.zeros((b, n_classes), np.float32)

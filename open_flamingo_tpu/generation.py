@@ -107,7 +107,14 @@ def greedy_or_sample(
 
 
 def _gather_beams(tree, indices, batch, beams):
-    """Gather along the beam axis of arrays shaped (batch*beams, ...)."""
+    """Gather along the beam axis of arrays shaped (batch*beams, ...).
+
+    A KVCache's `media` field is skipped: all beams of a batch element
+    share the same (replicated) prompt media, so the gather would be an
+    identity permutation — copying megabytes of static K/V per step."""
+    media = getattr(tree, "media", None)
+    if media is not None:
+        tree = tree.replace(media=None)
 
     def g(x):
         if not hasattr(x, "shape") or x.ndim == 0 or x.shape[0] != batch * beams:
@@ -117,7 +124,10 @@ def _gather_beams(tree, indices, batch, beams):
         out = jnp.take_along_axis(xr, idx, axis=1)
         return out.reshape(batch * beams, *x.shape[1:])
 
-    return jax.tree.map(g, tree)
+    out = jax.tree.map(g, tree)
+    if media is not None:
+        out = out.replace(media=media)
+    return out
 
 
 def beam_search(
@@ -259,8 +269,16 @@ def flamingo_generate(
     cache = KVCache.create(
         model.cfg.lm, lang_x.shape[0], cache_len, dtype=model.dtype
     )
-    logits, _, cache = model.apply(
-        params, None, lang_x, attention_mask, media_latents=latents, cache=cache
+    # prefill; capture each xattn layer's projected media K/V so decode
+    # steps skip the (static) media projection entirely.
+    (logits, _, cache), variables = model.apply(
+        params, None, lang_x, attention_mask, media_latents=latents,
+        cache=cache, mutable=["media_kv"],
+    )
+    from .models.lm import extract_media_kv
+
+    cache = cache.replace(
+        media=extract_media_kv(variables, model.cfg.scan_layers)
     )
     first_logits = logits[:, -1]
 

@@ -60,30 +60,43 @@ class DecoderConfig:
 
 @struct.dataclass
 class LayerKV:
-    k: jax.Array  # (B, S_max, H_kv, Dh)
-    v: jax.Array  # (B, S_max, H_kv, Dh)
+    """Head-major cache layout (B, H_kv, S_max, Dh): per-(batch, head)
+    cache rows are contiguous, so the flash kernel's (B*H, S, D) view is
+    a free reshape and the fused decode kernel streams blocks at DMA line
+    rate (the (B, S, H, D) layout forced XLA into latency-bound chunked
+    relayout copies of the whole cache every decode step)."""
+
+    k: jax.Array  # (B, H_kv, S_max, Dh)
+    v: jax.Array  # (B, H_kv, S_max, Dh)
 
 
 @struct.dataclass
 class KVCache:
     """Decode-state pytree. `index` is the number of slots already filled;
-    `pad_mask` marks valid (non-pad, written) key slots over S_max."""
+    `pad_mask` marks valid (non-pad, written) key slots over S_max.
+
+    `media` holds the per-xattn-layer projected media K/V, captured once at
+    prefill (the media latents are static during decode, so re-projecting
+    them every step — what the reference's per-step xattn does — is pure
+    waste: ~1M params × num_xattn_layers of extra weight DMA and matmul
+    FLOPs per generated token)."""
 
     layers: Tuple[LayerKV, ...]
     index: jax.Array      # scalar int32
     pad_mask: jax.Array   # (B, S_max) bool
+    media: Optional[Tuple[LayerKV, ...]] = None
 
     @property
     def max_length(self) -> int:
-        return self.layers[0].k.shape[1]
+        return self.layers[0].k.shape[2]
 
     @staticmethod
     def create(
         cfg: DecoderConfig, batch: int, max_length: int, dtype: Dtype = jnp.float32
     ) -> "KVCache":
         layer = LayerKV(
-            k=jnp.zeros((batch, max_length, cfg.kv_heads, cfg.head_dim), dtype),
-            v=jnp.zeros((batch, max_length, cfg.kv_heads, cfg.head_dim), dtype),
+            k=jnp.zeros((batch, cfg.kv_heads, max_length, cfg.head_dim), dtype),
+            v=jnp.zeros((batch, cfg.kv_heads, max_length, cfg.head_dim), dtype),
         )
         return KVCache(
             layers=tuple(layer for _ in range(cfg.num_layers)),
@@ -110,6 +123,8 @@ class AttnInputs:
     # (B, Tk) validity of each key slot — lets fused kernels rebuild the
     # mask as causal & pad without materializing (B, 1, Tq, Tk).
     pad_mask: Optional[jax.Array] = None
+    # True when K/V come from a KVCache (head-major (B, H, S, D) layout).
+    cached: bool = struct.field(pytree_node=False, default=False)
 
 
 def position_ids_from_mask(attention_mask: jax.Array) -> jax.Array:
@@ -184,6 +199,7 @@ def make_attn_inputs(
             kv_slot=idx,
             kv_len=s_max,
             pad_mask=new_pad_mask,
+            cached=True,
         ),
         new_cache,
     )
@@ -192,16 +208,37 @@ def make_attn_inputs(
 def update_layer_kv(
     layer_kv: Optional[LayerKV], k: jax.Array, v: jax.Array, attn: AttnInputs
 ) -> Tuple[jax.Array, jax.Array, Optional[LayerKV]]:
-    """Write new K/V at the cache slot; return full key/value arrays."""
+    """Write new K/V at the cache slot; return full key/value arrays.
+
+    k/v arrive in the blocks' (B, T, H, D) layout. Without a cache they
+    pass through unchanged; with a cache they are transposed into the
+    head-major (B, H, S, D) cache layout and the returned full arrays use
+    that layout too (self_attention dispatches on attn.cached). For
+    single-token decode the transpose is a free reshape.
+    """
     if layer_kv is None:
         return k, v, None
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
     k_full = jax.lax.dynamic_update_slice(
-        layer_kv.k, k.astype(layer_kv.k.dtype), (0, attn.kv_slot, 0, 0)
+        layer_kv.k, k.astype(layer_kv.k.dtype), (0, 0, attn.kv_slot, 0)
     )
     v_full = jax.lax.dynamic_update_slice(
-        layer_kv.v, v.astype(layer_kv.v.dtype), (0, attn.kv_slot, 0, 0)
+        layer_kv.v, v.astype(layer_kv.v.dtype), (0, 0, attn.kv_slot, 0)
     )
     return k_full, v_full, LayerKV(k=k_full, v=v_full)
+
+
+def repeat_kv(x: jax.Array, n_rep: int, head_axis: int = 2) -> jax.Array:
+    """Grouped-query expansion along the head axis: head_axis=2 for the
+    blocks' (B, S, H_kv, Dh) layout, 1 for the cache's (B, H_kv, S, Dh)."""
+    if n_rep == 1:
+        return x
+    shape = list(x.shape)
+    x = jnp.expand_dims(x, head_axis + 1)
+    shape_b = shape[: head_axis + 1] + [n_rep] + shape[head_axis + 1 :]
+    shape[head_axis] *= n_rep
+    return jnp.broadcast_to(x, shape_b).reshape(shape)
 
 
 # --- rotary embeddings (HF-compatible) ------------------------------------
@@ -284,15 +321,20 @@ def apply_rope_interleaved(
     return rot(q), rot(k)
 
 
-def alibi_slopes(num_heads: int, bias_max: float = 8.0) -> jnp.ndarray:
-    """MPT-style ALiBi slopes (HF build_mpt_alibi_tensor semantics)."""
+def alibi_slopes(num_heads: int, bias_max: float = 8.0):
+    """MPT-style ALiBi slopes (HF build_mpt_alibi_tensor semantics).
+
+    Returned as a static numpy array — the slopes depend only on the
+    (static) head count, so kernels can bake them in as constants."""
     import math
 
+    import numpy as np
+
     p = 2 ** math.ceil(math.log2(num_heads))
-    base = jnp.arange(1, p + 1, dtype=jnp.float32) * (bias_max / p)
-    slopes = 1.0 / jnp.power(2.0, base)
+    base = np.arange(1, p + 1, dtype=np.float32) * (bias_max / p)
+    slopes = 1.0 / np.power(2.0, base)
     if p != num_heads:
-        slopes = jnp.concatenate([slopes[1::2], slopes[::2]])[:num_heads]
+        slopes = np.concatenate([slopes[1::2], slopes[::2]])[:num_heads]
     return slopes
 
 

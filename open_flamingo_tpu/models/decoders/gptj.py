@@ -20,7 +20,6 @@ from .common import (
     DecoderConfig,
     LayerKV,
     apply_rope_interleaved,
-    update_layer_kv,
 )
 
 Dtype = Any
@@ -59,11 +58,10 @@ class GPTJBlock(nn.Module):
             q, k, attn.position_ids, rotary_dim, cfg.rope_theta
         )
 
-        k_full, v_full, new_kv = update_layer_kv(layer_kv, k, v, attn)
-        from ...ops.attention import self_attention
+        from ...ops.attention import cached_self_attention
 
-        out = self_attention(
-            q, k_full, v_full, attn, scale=cfg.head_dim**-0.5
+        out, new_kv = cached_self_attention(
+            q, k, v, attn, layer_kv, scale=cfg.head_dim**-0.5
         )
         attn_out = nn.Dense(cfg.hidden_size, **nobias, name="out_proj")(
             merge_heads(out)

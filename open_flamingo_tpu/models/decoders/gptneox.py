@@ -22,7 +22,6 @@ from .common import (
     LayerKV,
     apply_rope,
     rope_cos_sin,
-    update_layer_kv,
 )
 
 Dtype = Any
@@ -59,11 +58,10 @@ class GPTNeoXBlock(nn.Module):
         cos, sin = rope_cos_sin(attn.position_ids, rotary_ndims, cfg.rope_theta)
         q, k = apply_rope(q, k, cos, sin)
 
-        k_full, v_full, new_kv = update_layer_kv(layer_kv, k, v, attn)
-        from ...ops.attention import self_attention
+        from ...ops.attention import cached_self_attention
 
-        out = self_attention(
-            q, k_full, v_full, attn, scale=cfg.head_dim**-0.5
+        out, new_kv = cached_self_attention(
+            q, k, v, attn, layer_kv, scale=cfg.head_dim**-0.5
         )
         attn_out = nn.Dense(cfg.hidden_size, **dense, name="dense")(merge_heads(out))
 

@@ -19,7 +19,6 @@ from .common import (
     LayerKV,
     apply_rope,
     rope_cos_sin,
-    update_layer_kv,
 )
 
 Dtype = Any
@@ -41,14 +40,7 @@ class RMSNorm(nn.Module):
         return (w * xf.astype(self.dtype)).astype(self.dtype)
 
 
-def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
-    """(B, S, H_kv, Dh) -> (B, S, H_kv*n_rep, Dh), grouped-query expansion."""
-    if n_rep == 1:
-        return x
-    b, s, h, d = x.shape
-    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
-        b, s, h * n_rep, d
-    )
+from .common import repeat_kv  # noqa: E402  (re-export, lives in common)
 
 
 class LlamaBlock(nn.Module):
@@ -84,16 +76,11 @@ class LlamaBlock(nn.Module):
         cos, sin = rope_cos_sin(attn.position_ids, cfg.head_dim, cfg.rope_theta)
         q, k = apply_rope(q, k, cos, sin)
 
-        k_full, v_full, new_kv = update_layer_kv(layer_kv, k, v, attn)
         n_rep = cfg.num_heads // h_kv
-        from ...ops.attention import self_attention
+        from ...ops.attention import cached_self_attention
 
-        out = self_attention(
-            q,
-            repeat_kv(k_full, n_rep),
-            repeat_kv(v_full, n_rep),
-            attn,
-            scale=cfg.head_dim**-0.5,
+        out, new_kv = cached_self_attention(
+            q, k, v, attn, layer_kv, scale=cfg.head_dim**-0.5, n_rep=n_rep
         )
         x = x + nn.Dense(cfg.hidden_size, **dense, name="o_proj")(merge_heads(out))
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..layers import gelu_exact, merge_heads
-from .common import AttnInputs, DecoderConfig, LayerKV, alibi_bias, update_layer_kv
+from .common import AttnInputs, DecoderConfig, LayerKV, alibi_bias
 
 Dtype = Any
 
@@ -52,12 +52,11 @@ class MPTBlock(nn.Module):
         k = k.reshape(b, t, cfg.num_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_heads, cfg.head_dim)
 
-        k_full, v_full, new_kv = update_layer_kv(layer_kv, k, v, attn)
-        from ...ops.attention import self_attention
+        from ...ops.attention import cached_self_attention
         from .common import alibi_slopes
 
-        out = self_attention(
-            q, k_full, v_full, attn,
+        out, new_kv = cached_self_attention(
+            q, k, v, attn, layer_kv,
             scale=cfg.head_dim**-0.5,
             alibi_slopes=alibi_slopes(cfg.num_heads, cfg.alibi_bias_max),
             bias=alibi_bias(cfg.num_heads, attn.kv_len, cfg.alibi_bias_max),

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..layers import merge_heads
-from .common import AttnInputs, DecoderConfig, LayerKV, update_layer_kv
+from .common import AttnInputs, DecoderConfig, LayerKV
 
 Dtype = Any
 
@@ -47,10 +47,11 @@ class OPTBlock(nn.Module):
         k = k.reshape(b, t, cfg.num_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_heads, cfg.head_dim)
 
-        k_full, v_full, new_kv = update_layer_kv(layer_kv, k, v, attn)
-        from ...ops.attention import self_attention
+        from ...ops.attention import cached_self_attention
 
-        out = self_attention(q, k_full, v_full, attn, scale=cfg.head_dim**-0.5)
+        out, new_kv = cached_self_attention(
+            q, k, v, attn, layer_kv, scale=cfg.head_dim**-0.5
+        )
         x = x + nn.Dense(cfg.hidden_size, **dense, name="out_proj")(
             merge_heads(out)
         )

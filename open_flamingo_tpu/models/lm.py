@@ -17,13 +17,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .decoders.common import DecoderConfig, KVCache, make_attn_inputs
+from .decoders.common import DecoderConfig, KVCache, LayerKV, make_attn_inputs
 from .decoders.gptj import GPTJBlock
 from .decoders.gptneox import GPTNeoXBlock
 from .decoders.llama import LlamaBlock, RMSNorm
 from .decoders.mpt import MPTBlock
 from .decoders.opt import OPTBlock
-from .xattn import GatedCrossAttentionBlock
+from .xattn import GatedCrossAttentionBlock, build_media_masks, use_xattn_kernel
 
 Dtype = Any
 
@@ -50,9 +50,12 @@ class FlamingoLayerGroup(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    has_media_kv: bool = False
+
     @nn.compact
-    def __call__(self, carry, group_kv):
-        x, attn, media, text_time = carry
+    def __call__(self, carry, xs):
+        x, attn, media, text_time, media_mask, zero_rows = carry
+        group_kv, media_kv = xs
         block_cls = BLOCK_REGISTRY[self.cfg.family]
         new_kv = []
         for k in range(self.group_size):
@@ -64,7 +67,11 @@ class FlamingoLayerGroup(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name="xattn",
-                )(x, media, text_time)
+                )(
+                    x, media, text_time,
+                    (media_kv.k, media_kv.v) if self.has_media_kv else None,
+                    media_mask, zero_rows,
+                )
             layer_kv = group_kv[k] if self.has_cache else None
             x, kv = block_cls(
                 cfg=self.cfg,
@@ -74,7 +81,7 @@ class FlamingoLayerGroup(nn.Module):
             )(x, attn, layer_kv)
             new_kv.append(kv)
         out_kv = tuple(new_kv) if self.has_cache else group_kv
-        return (x, attn, media, text_time), out_kv
+        return (x, attn, media, text_time, media_mask, zero_rows), out_kv
 
 
 def stack_group_kv(layers, n: int):
@@ -93,6 +100,32 @@ def unstack_group_kv(stacked, g: int, n: int):
         for k in range(n):
             out.append(jax.tree.map(lambda x: x[gi], stacked[k]))
     return tuple(out)
+
+
+def extract_media_kv(variables: dict, scan_layers: bool):
+    """Pull the media K/V sown by each MaskedCrossAttention out of a
+    prefill `apply(..., mutable=["media_kv"])` call on a Flamingo model.
+
+    Returns the tuple to store in KVCache.media:
+      * unrolled: one LayerKV per xattn layer, in layer order;
+      * scan:     a single LayerKV with a leading group axis (fed back to
+                  nn.scan as a scanned input).
+    Returns None if no xattn layer sowed anything (pure-LM model).
+    """
+    col = variables.get("media_kv", {}).get("lm")
+    if not col:
+        return None
+    if scan_layers:
+        k, v = col["groups"]["xattn"]["attn"]["kv"][0]
+        return (LayerKV(k=k, v=v),)
+    idx = sorted(
+        int(name.split("_")[-1]) for name in col if name.startswith("xattn_")
+    )
+    return tuple(
+        LayerKV(k=col[f"xattn_{i}"]["attn"]["kv"][0][0],
+                v=col[f"xattn_{i}"]["attn"]["kv"][0][1])
+        for i in idx
+    )
 
 
 def to_scanned_layout(lm_params: dict, num_layers: int, n: int) -> dict:
@@ -189,8 +222,24 @@ class FlamingoLM(nn.Module):
             )
             x = x + pos_embed(attn.position_ids + 2)
 
+        # media masks are layer-independent: build them ONCE here (not per
+        # xattn layer) for the einsum dispatch; the Pallas kernel path
+        # (multi-token prefill/training) builds the mask in-kernel instead.
+        media_mask = zero_rows = None
+        if media is not None and not use_xattn_kernel(
+            input_ids.shape[1], self.only_attend_immediate_media
+        ):
+            media_mask, zero_rows = build_media_masks(
+                text_time, media.shape[1], media.shape[2],
+                self.only_attend_immediate_media,
+            )
+        media_cache = cache.media if cache is not None else None
+
         if self.scan_layers:
-            x, new_layers = self._scan_stack(x, attn, media, text_time, cache)
+            x, new_layers = self._scan_stack(
+                x, attn, media, text_time, media_mask, zero_rows,
+                cache, media_cache,
+            )
         else:
             block_cls = BLOCK_REGISTRY[cfg.family]
             xattn_cls = GatedCrossAttentionBlock
@@ -198,8 +247,14 @@ class FlamingoLM(nn.Module):
                 block_cls = nn.remat(block_cls)
                 xattn_cls = nn.remat(xattn_cls)
             new_layers = []
+            xattn_idx = 0
             for i in range(cfg.num_layers):
                 if self.has_xattn(i) and (media is not None):
+                    mkv = None
+                    if media_cache is not None:
+                        m = media_cache[xattn_idx]
+                        mkv = (m.k, m.v)
+                    xattn_idx += 1
                     x = xattn_cls(
                         dim=cfg.hidden_size,
                         dim_visual=self.vis_dim,
@@ -207,7 +262,7 @@ class FlamingoLM(nn.Module):
                         dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name=f"xattn_{i}",
-                    )(x, media, text_time)
+                    )(x, media, text_time, mkv, media_mask, zero_rows)
                 layer_kv = cache.layers[i] if cache is not None else None
                 x, new_kv = block_cls(
                     cfg=cfg,
@@ -252,7 +307,10 @@ class FlamingoLM(nn.Module):
             )
         return logits, cache
 
-    def _scan_stack(self, x, attn, media, text_time, cache):
+    def _scan_stack(
+        self, x, attn, media, text_time, media_mask, zero_rows, cache,
+        media_cache,
+    ):
         """Layer stack as lax.scan over homogeneous groups."""
         cfg = self.cfg
         n = self.cross_attn_every_n or 1
@@ -260,6 +318,7 @@ class FlamingoLM(nn.Module):
         g = cfg.num_layers // n
         has_xattn = self.cross_attn_every_n is not None and media is not None
         has_cache = cache is not None
+        has_media_kv = media_cache is not None
 
         group_cls = FlamingoLayerGroup
         if self.remat:
@@ -268,7 +327,7 @@ class FlamingoLM(nn.Module):
             )
         scanned = nn.scan(
             group_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "media_kv": 0},
             split_rngs={"params": True},
             in_axes=0,
             out_axes=0,
@@ -279,21 +338,28 @@ class FlamingoLM(nn.Module):
             group_size=n,
             group_has_xattn=has_xattn,
             has_cache=has_cache,
+            has_media_kv=has_media_kv,
             only_attend_immediate_media=self.only_attend_immediate_media,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="groups",
         )
         if has_cache:
-            xs = stack_group_kv(cache.layers, n)
+            group_kv = stack_group_kv(cache.layers, n)
         else:
-            xs = jnp.zeros((g, 1), jnp.int32)  # dummy scanned input
+            group_kv = jnp.zeros((g, 1), jnp.int32)  # dummy scanned input
+        # media K/V captured at prefill: a single LayerKV with a leading
+        # group axis (see extract_media_kv), scanned alongside the cache.
+        mkv = media_cache[0] if has_media_kv else jnp.zeros((g, 1), jnp.int32)
         if media is None:
             media = jnp.zeros(
                 (x.shape[0], 1, 1, self.vis_dim or 1), self.dtype
             )
             text_time = jnp.zeros(x.shape[:2], jnp.int32)
-        (x, _, _, _), ys = scanned((x, attn, media, text_time), xs)
+        (x, _, _, _, _, _), ys = scanned(
+            (x, attn, media, text_time, media_mask, zero_rows),
+            (group_kv, mkv),
+        )
         if has_cache:
             return x, list(unstack_group_kv(ys, g, n))
         return x, [None] * cfg.num_layers

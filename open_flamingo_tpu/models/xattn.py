@@ -18,13 +18,13 @@ Media-time masking semantics (open_flamingo/src/helpers.py:196-229):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import LN_EPS, FeedForward, attend, merge_heads, split_heads
+from .layers import LN_EPS, FeedForward, merge_heads, split_heads
 
 Dtype = Any
 
@@ -35,6 +35,31 @@ def media_time_from_locations(media_locations: jax.Array) -> jax.Array:
     media_locations: (B, T_txt) bool -> (B, T_txt) int32.
     """
     return jnp.cumsum(media_locations.astype(jnp.int32), axis=-1)
+
+
+def use_xattn_kernel(tq: int, immediate: bool) -> bool:
+    """Whether MaskedCrossAttention dispatches to the fused Pallas kernel
+    (which computes the media-time mask in-kernel from text_time)."""
+    return immediate and tq >= 8 and jax.default_backend() == "tpu"
+
+
+def build_media_masks(
+    text_time: jax.Array, t_img: int, n_lat: int, immediate: bool
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Media-time mask for the einsum path, built ONCE per forward (it is
+    identical for every xattn layer — the decode hot path used to rebuild
+    it per layer).
+
+    Returns (mask (B,1,T_txt,T_img*n_lat) bool, zero_rows or None).
+    """
+    media_time = (
+        jax.lax.broadcasted_iota(jnp.int32, (t_img, n_lat), 0).reshape(-1) + 1
+    )
+    tt = text_time[:, None, :, None]          # (B, 1, T_txt, 1)
+    mt = media_time[None, None, None, :]      # (1, 1, 1, T_img*n)
+    if immediate:
+        return tt == mt, (text_time == 0)[:, None, :, None]
+    return tt >= mt, None
 
 
 def cached_media_text_time(
@@ -63,11 +88,22 @@ class MaskedCrossAttention(nn.Module):
         x: jax.Array,
         media: jax.Array,
         text_time: jax.Array,
+        media_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+        media_mask: Optional[jax.Array] = None,
+        zero_rows: Optional[jax.Array] = None,
     ) -> jax.Array:
         """
-        x:         (B, T_txt, D_txt) text features
-        media:     (B, T_img, n_latents, D_vis)
-        text_time: (B, T_txt) int — media-time index of each text position.
+        x:          (B, T_txt, D_txt) text features
+        media:      (B, T_img, n_latents, D_vis)
+        text_time:  (B, T_txt) int — media-time index of each text position.
+        media_kv:   optional precomputed (k, v), each head-major
+                    (B, H, S_m, Dh) — the media projection is static during
+                    decode, so generate() computes it once at prefill and
+                    reuses it every step (the reference recomputes it per
+                    HF decode step).
+        media_mask: optional precomputed mask (B,1,T_txt,S_m) bool — it is
+                    layer-independent, so FlamingoLM builds it once.
+        zero_rows:  goes with media_mask (immediate-mode zeroing).
         """
         b, t_img, n_lat, _ = media.shape
         inner = self.dim_head * self.heads
@@ -77,52 +113,63 @@ class MaskedCrossAttention(nn.Module):
             epsilon=LN_EPS, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"
         )(x)
         q = nn.Dense(inner, **dense, name="to_q")(x)
-        media_flat = media.reshape(b, t_img * n_lat, media.shape[-1])
-        kv = nn.Dense(inner * 2, **dense, name="to_kv")(media_flat)
-        k, v = jnp.split(kv, 2, axis=-1)
+        if media_kv is None:
+            media_flat = media.reshape(b, t_img * n_lat, media.shape[-1])
+            kv = nn.Dense(inner * 2, **dense, name="to_kv")(media_flat)
+            k, v = jnp.split(kv, 2, axis=-1)
+            # head-major (B, H, S_m, Dh): matches the KV-cache layout so
+            # the fused kernels' (B*H, S, D) views are free reshapes.
+            k = split_heads(k, self.heads).transpose(0, 2, 1, 3)
+            v = split_heads(v, self.heads).transpose(0, 2, 1, 3)
+            # capture for decode reuse: flamingo_generate pulls this out of
+            # the prefill call (apply(..., mutable=["media_kv"])) and stores
+            # it in the KV cache so decode steps skip the projection.
+            if not self.is_initializing():
+                self.sow("media_kv", "kv", (k, v))
+        else:
+            k, v = media_kv
 
         q = split_heads(q, self.heads)
-        k = split_heads(k, self.heads)
-        v = split_heads(v, self.heads)
 
         h = self.heads
+        d = self.dim_head
+        s = t_img * n_lat
         tq = q.shape[1]
-        use_kernel = (
-            self.only_attend_immediate_media
-            and tq >= 8
-            and jax.default_backend() == "tpu"
-        )
-        if use_kernel:
+        scale = self.dim_head**-0.5
+        on_tpu = jax.default_backend() == "tpu"
+        if use_xattn_kernel(tq, self.only_attend_immediate_media):
             # fused Pallas path: media-time mask computed in-kernel
             from ..ops.masked_xattn import masked_xattn
 
-            d = self.dim_head
-            s = t_img * n_lat
             qf = q.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
-            kf = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-            vf = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+            kf = k.reshape(b * h, s, d)
+            vf = v.reshape(b * h, s, d)
             tt_h = jnp.repeat(text_time.astype(jnp.int32), h, axis=0)
-            out = masked_xattn(
-                qf, kf, vf, tt_h, n_lat, self.dim_head**-0.5
-            )
+            out = masked_xattn(qf, kf, vf, tt_h, n_lat, scale)
             out = out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
-        else:
-            # media_time per flattened K/V position: image j (0-based) -> j+1
-            media_time = (
-                jax.lax.broadcasted_iota(jnp.int32, (t_img, n_lat), 0).reshape(-1)
-                + 1
-            )
-            tt = text_time[:, None, :, None]          # (B, 1, T_txt, 1)
-            mt = media_time[None, None, None, :]      # (1, 1, 1, T_img*n)
-            if self.only_attend_immediate_media:
-                mask = tt == mt
-                zero_rows = (text_time == 0)[:, None, :, None]
-            else:
-                mask = tt >= mt
-                zero_rows = None
+        elif tq == 1 and self.only_attend_immediate_media and on_tpu:
+            # fused single-token decode: the media mask is one row per
+            # sequence (text_time is constant within a decode step), and
+            # text with no preceding image (all-masked row) comes out as
+            # exact zeros from the kernel — the immediate-mode rule.
+            from ..ops.decode_attention import decode_attention
 
-            out = attend(
-                q * (self.dim_head**-0.5), k, v, mask=mask, zero_rows=zero_rows
+            media_time = (
+                jax.lax.broadcasted_iota(jnp.int32, (t_img, n_lat), 0)
+                .reshape(-1) + 1
+            )
+            mask2d = text_time[:, :1] == media_time[None, :]   # (B, S_m)
+            out = decode_attention(q[:, 0], k, v, mask2d, scale=scale)
+            out = out[:, None]
+        else:
+            if media_mask is None:
+                media_mask, zero_rows = build_media_masks(
+                    text_time, t_img, n_lat, self.only_attend_immediate_media
+                )
+            from ..ops.attention import _attend_cached
+
+            out = _attend_cached(
+                q * scale, k, v, mask=media_mask, zero_rows=zero_rows
             )
         out = merge_heads(out)
         return nn.Dense(self.dim, **dense, name="to_out")(out)
@@ -150,6 +197,9 @@ class GatedCrossAttentionBlock(nn.Module):
         x: jax.Array,
         media: jax.Array,
         text_time: jax.Array,
+        media_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+        media_mask: Optional[jax.Array] = None,
+        zero_rows: Optional[jax.Array] = None,
     ) -> jax.Array:
         attn_gate = self.param(
             "attn_gate", nn.initializers.zeros, (1,), self.param_dtype
@@ -167,7 +217,7 @@ class GatedCrossAttentionBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(x, media, text_time)
+        )(x, media, text_time, media_kv, media_mask, zero_rows)
         x = attn_out * jnp.tanh(attn_gate) + x
 
         ff_out = FeedForward(

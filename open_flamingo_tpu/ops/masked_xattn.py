@@ -1,4 +1,4 @@
-"""Fused media-masked cross-attention Pallas kernel.
+"""Fused media-masked cross-attention Pallas kernel (forward + backward).
 
 The gated-xattn hot path (BASELINE north star): text queries attend to
 media latents under the Flamingo media-time rule. The (B, H, T_txt,
@@ -14,7 +14,13 @@ yields exactly 0 — the reference's post-softmax zeroing
 (>=) mode keeps the einsum path (its fully-masked rows are uniform, a
 reference quirk the kernel intentionally does not reproduce).
 
-Backward = recompute via custom_vjp over the einsum reference.
+Backward is a pair of Pallas kernels (same scheme as ops/flash_attention):
+the forward saves the per-row logsumexp (lane-broadcast, (BH, Tq, 128));
+dq accumulates over K blocks, dk/dv over Q blocks, scores recomputed
+blockwise — the training backward never materializes the score tensor
+(the recompute-vjp it replaces rebuilt (B·H, Tq, S) fp32 in HBM, exactly
+where the reference's MMC4 train loop is hottest,
+open_flamingo/train/train_utils.py:118).
 """
 
 from __future__ import annotations
@@ -35,15 +41,17 @@ def _xattn_kernel(
     v_ref,      # (1, BK, D)
     tt_ref,     # (1, 1, BQ) int32 text_time per query
     out_ref,    # (1, BQ, D)
-    acc_ref,    # (BQ, D) f32
-    m_ref,      # (BQ, 128) f32
-    l_ref,      # (BQ, 128) f32
-    *,
+    *rest,      # [lse_ref (1, BQ, 128) f32,] acc, m, l scratch
     block_q: int,
     block_k: int,
     n_latents: int,
     scale: float,
+    with_lse: bool,
 ):
+    if with_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        (acc_ref, m_ref, l_ref), lse_ref = rest, None
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -84,10 +92,15 @@ def _xattn_kernel(
         # text before the first image: fully masked -> exact zeros
         denom = jnp.where(denom == 0.0, 1.0, denom)
         out_ref[0] = (acc_ref[...] / denom).astype(out_ref.dtype)
+        if with_lse:
+            lse_ref[0] = jnp.where(
+                l_ref[...] > 0.0, m_ref[...] + jnp.log(l_ref[...]), 0.0
+            )
 
 
 def _xattn_forward(
-    q, k, v, text_time, *, n_latents, scale, block_q, block_k, interpret
+    q, k, v, text_time, *, n_latents, scale, block_q, block_k, interpret,
+    with_lse=False,
 ):
     bh, tq, d = q.shape
     s = k.shape[1]
@@ -100,8 +113,16 @@ def _xattn_forward(
         block_k=block_k,
         n_latents=n_latents,
         scale=scale,
+        with_lse=with_lse,
     )
-    return pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh, tq, d), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bh, tq, 128), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(bh, pl.cdiv(tq, block_q), pl.cdiv(s, block_k)),
         in_specs=[
@@ -110,8 +131,8 @@ def _xattn_forward(
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -119,6 +140,182 @@ def _xattn_forward(
         ],
         interpret=interpret,
     )(q, k, v, tt)
+    if with_lse:
+        return res[0], res[1][:, :, 0]
+    return res[0]
+
+
+def _xattn_dq_kernel(
+    q_ref,       # (1, BQ, D)
+    k_ref,       # (1, BK, D)
+    v_ref,       # (1, BK, D)
+    tt_ref,      # (1, 1, BQ)
+    do_ref,      # (1, BQ, D)
+    lse_ref,     # (1, 1, BQ)
+    delta_ref,   # (1, 1, BQ)
+    dq_ref,      # out (1, BQ, D)
+    acc_ref,     # (BQ, D) f32
+    *,
+    block_q: int,
+    block_k: int,
+    n_latents: int,
+    scale: float,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    k_idx = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    mask = tt_ref[0, 0][:, None] == (k_idx // n_latents + 1)
+    lse = lse_ref[0, 0][:, None]
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    do = do_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    dpv = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dpv - delta_ref[0, 0][:, None])
+    acc_ref[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _finalize():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _xattn_dkv_kernel(
+    q_ref,       # (1, BQ, D) — inner grid axis
+    k_ref,       # (1, BK, D)
+    v_ref,       # (1, BK, D)
+    tt_ref,      # (1, 1, BQ)
+    do_ref,      # (1, BQ, D)
+    lse_ref,     # (1, 1, BQ)
+    delta_ref,   # (1, 1, BQ)
+    dk_ref,      # out (1, BK, D)
+    dv_ref,      # out (1, BK, D)
+    dk_acc,      # (BK, D) f32
+    dv_acc,      # (BK, D) f32
+    *,
+    block_q: int,
+    block_k: int,
+    n_latents: int,
+    scale: float,
+):
+    kj = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    k_idx = kj * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    mask = tt_ref[0, 0][:, None] == (k_idx // n_latents + 1)
+    lse = lse_ref[0, 0][:, None]
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    do = do_ref[0].astype(jnp.float32)
+    dv_acc[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    v = v_ref[0].astype(jnp.float32)
+    dpv = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dpv - delta_ref[0, 0][:, None])
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _xattn_backward(
+    q, k, v, text_time, out, lse, dout,
+    *, n_latents, scale, block_q, block_k, interpret,
+):
+    bh, tq, d = q.shape
+    s = k.shape[1]
+    block_q = min(block_q, tq)
+    block_k = min(block_k, s)
+    tt = text_time.reshape(bh, 1, tq).astype(jnp.int32)
+    lse3 = lse.reshape(bh, 1, tq)
+    delta = jnp.sum(
+        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).reshape(bh, 1, tq)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _xattn_dq_kernel,
+            block_q=block_q, block_k=block_k,
+            n_latents=n_latents, scale=scale,
+        ),
+        grid=(bh, pl.cdiv(tq, block_q), pl.cdiv(s, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, tt, dout, lse3, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _xattn_dkv_kernel,
+            block_q=block_q, block_k=block_k,
+            n_latents=n_latents, scale=scale,
+        ),
+        grid=(bh, pl.cdiv(s, block_k), pl.cdiv(tq, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, s, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, tt, dout, lse3, delta)
+    return dq, dk, dv
 
 
 def reference_masked_xattn(q, k, v, text_time, *, n_latents, scale):
@@ -161,23 +358,20 @@ def masked_xattn(
 
 
 def _fwd(q, k, v, tt, n_latents, scale, bq, bk, interp):
-    out = _xattn_forward(
+    out, lse = _xattn_forward(
         q, k, v, tt, n_latents=n_latents, scale=scale,
-        block_q=bq, block_k=bk, interpret=interp,
+        block_q=bq, block_k=bk, interpret=interp, with_lse=True,
     )
-    return out, (q, k, v, tt)
+    return out, (q, k, v, tt, out, lse)
 
 
 def _bwd(n_latents, scale, bq, bk, interp, res, g):
-    q, k, v, tt = res
-
-    def f(q, k, v):
-        return reference_masked_xattn(
-            q, k, v, tt, n_latents=n_latents, scale=scale
-        )
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, tt, out, lse = res
+    dq, dk, dv = _xattn_backward(
+        q, k, v, tt, out, lse, g,
+        n_latents=n_latents, scale=scale,
+        block_q=bq, block_k=bk, interpret=interp,
+    )
     return dq, dk, dv, None
 
 

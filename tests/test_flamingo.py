@@ -98,6 +98,42 @@ def test_prefill_decode_matches_full(setup):
         )
 
 
+def test_media_kv_reuse_matches(setup):
+    """Decode with the prefill-captured media K/V in the cache (the fused
+    decode path: to_kv projection skipped every step) produces logits
+    identical to recomputing the projection each step."""
+    from open_flamingo_tpu.models.lm import extract_media_kv
+
+    model, params, vision_x, ids, mask = setup
+    latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
+    t_prompt = 7
+    make = lambda: KVCache.create(model.cfg.lm, B, T_TXT + 2)
+
+    (_, _, cache_a), variables = model.apply(
+        params, None, ids[:, :t_prompt], mask[:, :t_prompt],
+        media_latents=latents, cache=make(), mutable=["media_kv"],
+    )
+    media_kv = extract_media_kv(variables, scan_layers=False)
+    assert media_kv is not None and len(media_kv) == model.cfg.lm.num_layers
+    cache_a = cache_a.replace(media=media_kv)
+    _, _, cache_b = model.apply(
+        params, None, ids[:, :t_prompt], mask[:, :t_prompt],
+        media_latents=latents, cache=make(),
+    )
+    n_media = count_media(ids[:, :t_prompt], MEDIA)
+    step = ids[:, t_prompt : t_prompt + 1]
+    m1 = mask[:, t_prompt : t_prompt + 1]
+    logits_a, _ = model.apply(
+        params, latents, step, m1, cache_a, n_media,
+        method=Flamingo.decode_step,
+    )
+    logits_b, _ = model.apply(
+        params, latents, step, m1, cache_b, n_media,
+        method=Flamingo.decode_step,
+    )
+    np.testing.assert_array_equal(np.asarray(logits_a), np.asarray(logits_b))
+
+
 def test_greedy_generate_matches_manual(setup):
     model, params, vision_x, ids, mask = setup
     gen = flamingo_generate(

@@ -64,6 +64,36 @@ def test_flash_cache_offset(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_flash_gradients_padded_offset(rng):
+    """Backward kernels under left padding + a cache offset: gradients of
+    masked key slots must be exactly zero and match the reference VJP."""
+    s, tq, off = 32, 8, 10
+    pad = np.zeros((BH, s), np.int32)
+    pad[:, 2 : off + tq] = 1  # slots 0-1 invalid (left padding)
+    q, k, v, padj = _inputs(rng, tq, s, pad)
+    slopes = jnp.tile(alibi_slopes(2), BH // 2)[:, None]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, padj, slopes, jnp.int32(off),
+                            True, 0.25, 8, 8, True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            reference_attention(q, k, v, padj, slopes, off,
+                                causal=True, scale=0.25) ** 2
+        )
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    # masked key slots contribute nothing
+    np.testing.assert_array_equal(np.asarray(gf[1][:, :2]), 0.0)
+    np.testing.assert_array_equal(np.asarray(gf[2][:, :2]), 0.0)
+
+
 def test_flash_gradients(rng):
     q, k, v, pad = _inputs(rng, 16, 16)
     slopes = jnp.tile(alibi_slopes(2), BH // 2)[:, None]
