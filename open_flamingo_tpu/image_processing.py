@@ -39,10 +39,22 @@ class ImageProcessor:
     random_flip: bool = False
 
     def __call__(self, image, rng: Union[np.random.Generator, None] = None):
+        arr = self.raw_uint8(image, rng).astype(np.float32) / 255.0
+        arr = (arr - np.asarray(self.mean, np.float32)) / np.asarray(
+            self.std, np.float32
+        )
+        return np.ascontiguousarray(arr)  # (H, W, C)
+
+    def raw_uint8(self, image, rng: Union[np.random.Generator, None] = None):
+        """Resize + center-crop + flip only — uint8 (H, W, C) output.
+
+        The device-preprocess input path ships these raw bytes to the
+        chip (4x less host->device traffic than float32) and normalizes
+        in-graph via normalize_images_on_device."""
         from PIL import Image
 
         if isinstance(image, (list, tuple)):
-            return np.stack([self(im, rng) for im in image])
+            return np.stack([self.raw_uint8(im, rng) for im in image])
 
         if not isinstance(image, Image.Image):
             image = Image.fromarray(np.asarray(image))
@@ -62,15 +74,27 @@ class ImageProcessor:
         top = (nh - s) // 2
         image = image.crop((left, top, left + s, top + s))
 
-        arr = np.asarray(image, np.float32) / 255.0
+        arr = np.asarray(image, np.uint8)
         if self.random_flip:
             r = (rng or np.random.default_rng()).random()
             if r < 0.5:
                 arr = arr[:, ::-1]
-        arr = (arr - np.asarray(self.mean, np.float32)) / np.asarray(
-            self.std, np.float32
-        )
-        return np.ascontiguousarray(arr)  # (H, W, C)
+        return np.ascontiguousarray(arr)
+
+
+def normalize_images_on_device(images_uint8, dtype=None):
+    """XLA path for host-resized uint8 batches: (..., H, W, 3) uint8 ->
+    normalized dtype. The inverse host half lives in
+    ImageProcessor.raw_uint8; together they split CLIP preprocessing as
+    decode/resize (host, processes) + convert/normalize (device, fused).
+    Matches ImageProcessor.__call__ bit-for-bit in float32."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    x = images_uint8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
 
 
 def preprocess_images_on_device(

@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--laion_shards", required=False, default=None)
     p.add_argument("--mmc4_shards", required=False, default=None)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--loader_backend", default="process",
+                   choices=["thread", "process"],
+                   help="'process' spawns GIL-free decode workers (the "
+                        "reference's DataLoader(num_workers) equivalent)")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="ship uint8 pixels and normalize on-device "
+                        "(4x less host->device traffic)")
     p.add_argument("--dataset_resampled", action="store_true")
     p.add_argument("--mmc4_textsim_threshold", type=float, default=0.24)
     p.add_argument("--mmc4_min_num_images", type=int, default=1)
@@ -185,6 +192,8 @@ def main(argv: Optional[list] = None, *, model_override=None):
             shards=shards, batch_size=bs, train_num_samples=n,
             seed=args.seed, workers=args.workers, host_id=rank,
             num_hosts=world, dataset_resampled=args.dataset_resampled,
+            loader_backend=args.loader_backend,
+            device_preprocess=args.device_preprocess,
             mmc4_textsim_threshold=args.mmc4_textsim_threshold,
             mmc4_min_num_images=args.mmc4_min_num_images,
             mmc4_max_num_images=args.mmc4_max_num_images,

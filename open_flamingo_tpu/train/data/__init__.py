@@ -1,6 +1,7 @@
 from .wds import (  # noqa: F401
     DataInfo,
     PrefetchLoader,
+    ProcessPrefetchLoader,
     SharedEpoch,
     braceexpand,
     detshuffle,

@@ -21,7 +21,7 @@ from typing import Any, List
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-from .laion import DataConfig
+from .laion import DataConfig, make_loader
 from .wds import (
     DataInfo,
     PrefetchLoader,
@@ -75,7 +75,10 @@ def _finalize(
     max_n = cfg.mmc4_max_num_images
     images = images[:max_n]
     h, w, c = images[0].shape
-    stack = np.zeros((max_n, h, w, c), np.float32)
+    stack = np.zeros(
+        (max_n, h, w, c),
+        np.uint8 if cfg.device_preprocess else np.float32,
+    )
     for i, im in enumerate(images):
         stack[i] = im
 
@@ -99,6 +102,12 @@ def _finalize(
         raise RejectSample("single trailing <image>: labels would be all -100")
 
     return stack.reshape(max_n, 1, h, w, c), ids, mask
+
+
+def _proc_image(image_processor, img, rng, cfg: DataConfig):
+    if cfg.device_preprocess:
+        return image_processor.raw_uint8(img, rng)
+    return image_processor(img, rng)
 
 
 def preprocess_interleaved(
@@ -126,7 +135,7 @@ def preprocess_interleaved(
     for i, s in zip(img_ix, sent_ix):
         if sim[i][s] < cfg.mmc4_textsim_threshold:
             continue
-        images.append(image_processor(valid_images[i], rng))
+        images.append(_proc_image(image_processor, valid_images[i], rng, cfg))
         sentence_ixs.append(s)
     if not images:
         raise RejectSample("no image above similarity threshold")
@@ -168,7 +177,7 @@ def preprocess_gpt_interleaved(
         from PIL import Image
 
         img = Image.open(io.BytesIO(raw)).convert("RGB")
-        images.append(image_processor(img, rng))
+        images.append(_proc_image(image_processor, img, rng, cfg))
         text = text.replace(ph, "<|endofchunk|><image>")
     if not images:
         raise RejectSample("no images in gpt sample")
@@ -191,37 +200,46 @@ def collate_mmc4(samples: List[Any]):
     }
 
 
+def mmc4_worker_iter(
+    worker_id: int, ep: int, cfg: DataConfig, image_processor, tokenizer,
+    media_token_id: int,
+):
+    """One worker's batch stream (module-level: picklable for the
+    process loader backend)."""
+    urls = expand_urls(cfg.shards)
+    if cfg.dataset_resampled:
+        shards = resampled_shards(urls, len(urls), cfg.seed, ep)
+    else:
+        shards = detshuffle(urls, cfg.seed, ep)
+    shards = split_shards(
+        shards, cfg.host_id, cfg.num_hosts, worker_id, cfg.workers
+    )
+    rng = np.random.default_rng(cfg.seed + ep * 1000 + worker_id)
+
+    def proc(sample):
+        info = json.loads(sample["json"])
+        return preprocess_interleaved(
+            info, cfg, image_processor, tokenizer, media_token_id, rng
+        )
+
+    it = shards_to_samples(shards)
+    it = (s for s in it if "json" in s)
+    it = shuffle_buffer(it, cfg.shuffle_buffer_size, cfg.seed + ep + worker_id)
+    it = map_safe(it, proc)
+    return batched(it, cfg.batch_size, collate_mmc4)
+
+
 def get_mmc4_dataset(
     cfg: DataConfig, image_processor, tokenizer, epoch: int = 0,
     media_token_id: int = None,
 ) -> DataInfo:
     if media_token_id is None:
         media_token_id = tokenizer.encode("<image>")[-1]
-    urls = expand_urls(cfg.shards)
     shared_epoch = SharedEpoch(epoch)
     num_batches = max(1, cfg.train_num_samples // (cfg.batch_size * cfg.num_hosts))
-
-    def worker_iter(worker_id: int, ep: int):
-        if cfg.dataset_resampled:
-            shards = resampled_shards(urls, len(urls), cfg.seed, ep)
-        else:
-            shards = detshuffle(urls, cfg.seed, ep)
-        shards = split_shards(
-            shards, cfg.host_id, cfg.num_hosts, worker_id, cfg.workers
-        )
-        rng = np.random.default_rng(cfg.seed + ep * 1000 + worker_id)
-
-        def proc(sample):
-            info = json.loads(sample["json"])
-            return preprocess_interleaved(
-                info, cfg, image_processor, tokenizer, media_token_id, rng
-            )
-
-        it = shards_to_samples(shards)
-        it = (s for s in it if "json" in s)
-        it = shuffle_buffer(it, cfg.shuffle_buffer_size, cfg.seed + ep + worker_id)
-        it = map_safe(it, proc)
-        return batched(it, cfg.batch_size, collate_mmc4)
-
-    loader = PrefetchLoader(worker_iter, cfg.workers, num_batches, shared_epoch)
+    loader = make_loader(
+        cfg, mmc4_worker_iter,
+        (cfg, image_processor, tokenizer, media_token_id),
+        num_batches, shared_epoch,
+    )
     return DataInfo(dataloader=loader, shared_epoch=shared_epoch)

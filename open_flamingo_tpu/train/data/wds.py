@@ -15,12 +15,13 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import multiprocessing as mp
 import queue
 import random
 import re
 import tarfile
 import threading
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 log = logging.getLogger(__name__)
 
@@ -284,6 +285,86 @@ class PrefetchLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
+
+
+def _mp_worker(out_q, worker_fn, worker_args, wid: int, epoch: int):
+    """Child-process body: run one worker's batch iterator into a queue.
+
+    Module-level so it is importable under the 'spawn' start method. The
+    child never touches jax — the data modules import only
+    numpy/scipy/PIL, so spawn startup stays light and the TPU client in
+    the parent is never forked.
+    """
+    try:
+        for batch in worker_fn(wid, epoch, *worker_args):
+            out_q.put(batch)
+    except Exception as e:  # pragma: no cover
+        log.exception("loader process %d failed: %r", wid, e)
+    finally:
+        out_q.put(None)  # sentinel
+
+
+class ProcessPrefetchLoader:
+    """Multi-worker *process* loader (GIL-free JPEG decode/PIL resize).
+
+    Same contract as PrefetchLoader but worker_fn must be a module-level
+    picklable callable `worker_fn(worker_id, epoch, *worker_args)`
+    returning an iterator of batches. Replaces the reference's
+    torch DataLoader(num_workers=N) process pool
+    (open_flamingo/train/data.py:459-465) without torch: a 'spawn'
+    context keeps children free of the parent's TPU/jax state.
+    """
+
+    def __init__(
+        self,
+        worker_fn: Callable[..., Iterator[Any]],
+        worker_args: Tuple,
+        num_workers: int,
+        num_batches: int,
+        shared_epoch: Optional["SharedEpoch"] = None,
+        prefetch: int = 8,
+    ):
+        self.worker_fn = worker_fn
+        self.worker_args = tuple(worker_args)
+        self.num_workers = max(1, num_workers)
+        self.num_batches = num_batches
+        self.shared_epoch = shared_epoch or SharedEpoch()
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        epoch = self.shared_epoch.get_value()
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue(maxsize=max(self.prefetch, self.num_workers))
+        procs = [
+            ctx.Process(
+                target=_mp_worker,
+                args=(q, self.worker_fn, self.worker_args, w, epoch),
+                daemon=True,
+            )
+            for w in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+
+        served, finished = 0, 0
+        try:
+            while served < self.num_batches and finished < self.num_workers:
+                item = q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                yield item
+                served += 1
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+            q.close()
+            q.cancel_join_thread()
 
 
 @dataclasses.dataclass

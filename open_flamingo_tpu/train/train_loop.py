@@ -19,9 +19,18 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ..image_processing import normalize_images_on_device
 from ..models.flamingo import Flamingo
 from .losses import lm_loss, mask_labels_interleaved, mask_labels_paired
 from .optimizer import FlatParams, merge_params
+
+
+def _vision_input(model: Flamingo, vision_x: jax.Array) -> jax.Array:
+    """uint8 batches (device-preprocess input path) normalize in-graph —
+    fused by XLA into the first conv read; float batches pass through."""
+    if vision_x.dtype == jnp.uint8:
+        return normalize_images_on_device(vision_x, dtype=model.dtype)
+    return vision_x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,7 +70,7 @@ def batch_losses(
 
     logits_l, _, _ = model.apply(
         params,
-        batch_laion["vision_x"],
+        _vision_input(model, batch_laion["vision_x"]),
         batch_laion["input_ids"],
         batch_laion["attention_mask"],
     )
@@ -72,7 +81,7 @@ def batch_losses(
 
     logits_m, _, _ = model.apply(
         params,
-        batch_mmc4["vision_x"],
+        _vision_input(model, batch_mmc4["vision_x"]),
         batch_mmc4["input_ids"],
         batch_mmc4["attention_mask"],
     )

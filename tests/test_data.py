@@ -174,6 +174,72 @@ def test_mmc4_assignment_and_rejection(rng):
         preprocess_interleaved(doc, cfg, proc, tok, media_id, DropRng())
 
 
+def test_process_loader_matches_thread_backend(tmp_path, rng):
+    """The spawned-process backend must yield the same batches as the
+    in-process thread backend for identical (seed, epoch)."""
+    for i in range(2):
+        _write_laion_shard(tmp_path / f"p-{i:04d}.tar", rng)
+    tok = SimpleTokenizer()
+    proc = ImageProcessor(image_size=14)
+    mk = lambda backend: DataConfig(
+        shards=str(tmp_path / "p-{0000..0001}.tar"), batch_size=4,
+        train_num_samples=8, workers=1, shuffle_buffer_size=4,
+        loader_backend=backend,
+    )
+    a = list(get_data(mk("thread"), proc, tok, "laion").dataloader)
+    b = list(get_data(mk("process"), proc, tok, "laion").dataloader)
+    assert len(a) == len(b) == 2
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
+        np.testing.assert_allclose(x["vision_x"], y["vision_x"], rtol=0, atol=0)
+
+
+def test_device_preprocess_matches_host_path(tmp_path, rng):
+    """uint8 batches + on-device normalization == the float32 host path
+    (same pixels; normalize is the same arithmetic in fp32)."""
+    import jax.numpy as jnp
+
+    from open_flamingo_tpu.image_processing import normalize_images_on_device
+
+    _write_laion_shard(tmp_path / "u-0000.tar", rng, n=8)
+    tok = SimpleTokenizer()
+    proc = ImageProcessor(image_size=14)
+    mk = lambda dev: DataConfig(
+        shards=str(tmp_path / "u-0000.tar"), batch_size=4,
+        train_num_samples=4, workers=1, shuffle_buffer_size=4,
+        device_preprocess=dev,
+    )
+    host = list(get_data(mk(False), proc, tok, "laion").dataloader)
+    dev = list(get_data(mk(True), proc, tok, "laion").dataloader)
+    for h, d in zip(host, dev):
+        assert d["vision_x"].dtype == np.uint8
+        np.testing.assert_array_equal(h["input_ids"], d["input_ids"])
+        norm = np.asarray(
+            normalize_images_on_device(jnp.asarray(d["vision_x"]), jnp.float32)
+        )
+        np.testing.assert_allclose(h["vision_x"], norm, atol=1e-6)
+
+
+def test_mmc4_device_preprocess_uint8(tmp_path, rng):
+    docs = [_mmc4_doc(rng) for _ in range(8)]
+    p = tmp_path / "mmc4u-0000.tar"
+    with tarfile.open(p, "w") as tf:
+        for i, d in enumerate(docs):
+            data = json.dumps(d).encode()
+            ti = tarfile.TarInfo(f"{i:06d}.json")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    tok = SimpleTokenizer()
+    cfg = DataConfig(
+        shards=str(p), batch_size=2, train_num_samples=2, workers=1,
+        shuffle_buffer_size=4, device_preprocess=True,
+    )
+    proc = ImageProcessor(image_size=14)
+    batches = list(get_data(cfg, proc, tok, "mmc4").dataloader)
+    assert batches and batches[0]["vision_x"].dtype == np.uint8
+    assert batches[0]["vision_x"].shape == (2, 6, 1, 14, 14, 3)
+
+
 def test_laion_determinism(tmp_path, rng):
     for i in range(2):
         _write_laion_shard(tmp_path / f"d-{i:04d}.tar", rng)

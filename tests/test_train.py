@@ -122,6 +122,43 @@ def test_train_step_decreases_loss_and_respects_freezing(rng):
     assert np.abs(np.asarray(state.params[gate_key])).max() > 0
 
 
+def test_train_step_accepts_uint8_vision(rng):
+    """The device-preprocess path: uint8 vision_x normalizes in-graph and
+    matches the loss computed from the host-normalized float batch."""
+    from open_flamingo_tpu.image_processing import (
+        CLIP_MEAN,
+        CLIP_STD,
+        normalize_images_on_device,
+    )
+
+    model, variables, batch = _setup(rng)
+    u8 = rng.integers(0, 256, size=(B, 2, 1, 14, 14, 3)).astype(np.uint8)
+    host = (np.asarray(u8, np.float32) / 255.0 - np.asarray(CLIP_MEAN)) / (
+        np.asarray(CLIP_STD)
+    )
+    bu = dict(batch, vision_x=jnp.asarray(u8))
+    bf = dict(batch, vision_x=jnp.asarray(host, jnp.float32))
+
+    train, frozen = split_params(variables)
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=0.0, warmup_steps=0, weight_decay=0.0),
+        media_token_id=MEDIA, eoc_token_id=EOC,
+    )
+    cfg = TrainLoopConfig(pad_token_id=PAD)
+    step = jax.jit(make_train_step(model, tx, cfg))
+    state = TrainState.create(train, tx)
+    _, m_u = step(state, frozen, bu, bu)
+    _, m_f = step(state, frozen, bf, bf)
+    np.testing.assert_allclose(
+        float(m_u["loss"]), float(m_f["loss"]), rtol=1e-5
+    )
+    # sanity on the normalize helper itself
+    np.testing.assert_allclose(
+        np.asarray(normalize_images_on_device(jnp.asarray(u8))), host,
+        atol=1e-6,
+    )
+
+
 def test_gradient_accumulation_equals_big_batch(rng):
     """optax.MultiSteps over k micro-batches must produce the same update
     as one k-sized batch step (reference grad-accum semantics,
