@@ -102,6 +102,8 @@ def config_from_hf(hf_config) -> DecoderConfig:
             attention_bias=False,
             tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
             lm_head_bias=True,
+            # GPT-J-6B ships activation_function="gelu_new" (tanh approx)
+            hidden_act=getattr(hf_config, "activation_function", "gelu_new"),
         )
     if mt == "opt":
         return DecoderConfig(

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import gelu_exact, merge_heads
+from ..layers import PDense, PLayerNorm, gelu_exact, merge_heads
 from .common import (
     AttnInputs,
     DecoderConfig,
@@ -42,33 +42,89 @@ class GPTJBlock(nn.Module):
         nobias = dict(use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype)
         bias = dict(use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype)
 
-        h = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+        d = cfg.hidden_size
+        ln_1 = PLayerNorm(
+            d, epsilon=cfg.layer_norm_eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="ln_1",
-        )(x)
-        q = nn.Dense(cfg.hidden_size, **nobias, name="q_proj")(h)
-        k = nn.Dense(cfg.hidden_size, **nobias, name="k_proj")(h)
-        v = nn.Dense(cfg.hidden_size, **nobias, name="v_proj")(h)
+        )
+        q_proj = PDense(d, d, **nobias, name="q_proj")
+        k_proj = PDense(d, d, **nobias, name="k_proj")
+        v_proj = PDense(d, d, **nobias, name="v_proj")
+        out_proj = PDense(d, d, **nobias, name="out_proj")
+        fc_in = PDense(d, cfg.intermediate_size, **bias, name="fc_in")
+        fc_out = PDense(cfg.intermediate_size, d, **bias, name="fc_out")
+
+        rotary_dim = cfg.rotary_dim or cfg.head_dim
+        # HF GPT-J defaults to activation_function="gelu_new" (tanh form)
+        act_name = "gelu_new" if cfg.hidden_act == "gelu_new" else "gelu"
+        act_fn = (
+            (lambda v: jax.nn.gelu(v, approximate=True))
+            if act_name == "gelu_new" else gelu_exact
+        )
+        from ...ops.attention import cached_self_attention
+        from ...ops.dense_stream import use_fused_decode
+
+        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+            # decode: shared-LN q/k/v, write+attend, out-proj and the
+            # biased MLP (parallel residual) as weight-streaming kernels
+            from ...ops import dense_stream
+            from ...ops.dense_stream import fused_dense, fused_mlp
+            from ...ops.decode_attention import decode_attention_update
+
+            x2 = x[:, 0]
+            ln_kw = dict(
+                ln_scale=ln_1.scale, ln_bias=ln_1.bias,
+                eps=cfg.layer_norm_eps,
+            )
+            q = fused_dense(x2, q_proj.kernel.astype(self.dtype), **ln_kw)
+            k = fused_dense(x2, k_proj.kernel.astype(self.dtype), **ln_kw)
+            v = fused_dense(x2, v_proj.kernel.astype(self.dtype), **ln_kw)
+            q = q.reshape(b, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(b, cfg.num_heads, cfg.head_dim)
+            v = v.reshape(b, cfg.num_heads, cfg.head_dim)
+            q, k = apply_rope_interleaved(
+                q[:, None], k[:, None], attn.position_ids, rotary_dim,
+                cfg.rope_theta,
+            )
+            out, kc, vc = decode_attention_update(
+                q[:, 0], layer_kv.k, layer_kv.v, k[:, 0], v,
+                attn.pad_mask, attn.kv_slot,
+                scale=cfg.head_dim**-0.5,
+                interpret=dense_stream.INTERPRET,
+            )
+            attn_out = fused_dense(
+                out.reshape(b, d), out_proj.kernel.astype(self.dtype)
+            )
+            y = fused_mlp(
+                x2,
+                fc_in.kernel.astype(self.dtype),
+                fc_out.kernel.astype(self.dtype),
+                b1=fc_in.bias, b2=fc_out.bias,
+                act=act_name,
+                residual=x2 + attn_out,
+                **ln_kw,
+            )
+            return y[:, None], LayerKV(k=kc, v=vc)
+
+        h = ln_1(x)
+        q = q_proj(h)
+        k = k_proj(h)
+        v = v_proj(h)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_heads, cfg.head_dim)
 
-        rotary_dim = cfg.rotary_dim or cfg.head_dim
         q, k = apply_rope_interleaved(
             q, k, attn.position_ids, rotary_dim, cfg.rope_theta
         )
 
-        from ...ops.attention import cached_self_attention
-
         out, new_kv = cached_self_attention(
             q, k, v, attn, layer_kv, scale=cfg.head_dim**-0.5
         )
-        attn_out = nn.Dense(cfg.hidden_size, **nobias, name="out_proj")(
-            merge_heads(out)
-        )
+        attn_out = out_proj(merge_heads(out))
 
-        h2 = nn.Dense(cfg.intermediate_size, **bias, name="fc_in")(h)
-        h2 = gelu_exact(h2)
-        mlp_out = nn.Dense(cfg.hidden_size, **bias, name="fc_out")(h2)
+        h2 = fc_in(h)
+        h2 = act_fn(h2)
+        mlp_out = fc_out(h2)
 
         return x + attn_out + mlp_out, new_kv

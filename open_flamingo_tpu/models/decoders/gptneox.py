@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import gelu_exact, merge_heads
+from ..layers import PDense, PLayerNorm, gelu_exact, merge_heads
 from .common import (
     AttnInputs,
     DecoderConfig,
@@ -48,29 +48,83 @@ class GPTNeoXBlock(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype
         )
 
-        h = nn.LayerNorm(**ln, name="input_layernorm")(x)
-        qkv = nn.Dense(3 * cfg.hidden_size, **dense, name="query_key_value")(h)
+        d = cfg.hidden_size
+        ln_1 = PLayerNorm(d, **ln, name="input_layernorm")
+        wqkv = PDense(d, 3 * d, **dense, name="query_key_value")
+        out_proj = PDense(d, d, **dense, name="dense")
+        ln_2 = PLayerNorm(d, **ln, name="post_attention_layernorm")
+        up = PDense(d, cfg.intermediate_size, **dense, name="dense_h_to_4h")
+        down = PDense(cfg.intermediate_size, d, **dense, name="dense_4h_to_h")
+
+        from ...ops.attention import cached_self_attention
+        from ...ops.dense_stream import use_fused_decode
+
+        rotary_ndims = int(cfg.head_dim * cfg.rotary_pct)
+
+        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+            # decode: LN+QKV / write+attend / out-proj / LN+MLP(+residual)
+            # as weight-streaming kernels; RoPE stays an XLA op (tiny)
+            from ...ops import dense_stream
+            from ...ops.dense_stream import fused_dense, fused_mlp
+            from ...ops.decode_attention import decode_attention_update
+
+            x2 = x[:, 0]
+            qkv = fused_dense(
+                x2, wqkv.kernel.astype(self.dtype),
+                bias=wqkv.bias if cfg.attention_bias else None,
+                ln_scale=ln_1.scale, ln_bias=ln_1.bias,
+                eps=cfg.layer_norm_eps,
+            )
+            qkv = qkv.reshape(b, cfg.num_heads, 3 * cfg.head_dim)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            cos, sin = rope_cos_sin(
+                attn.position_ids, rotary_ndims, cfg.rope_theta
+            )
+            q, k = apply_rope(q[:, None], k[:, None], cos, sin)
+            out, kc, vc = decode_attention_update(
+                q[:, 0], layer_kv.k, layer_kv.v, k[:, 0], v,
+                attn.pad_mask, attn.kv_slot,
+                scale=cfg.head_dim**-0.5,
+                interpret=dense_stream.INTERPRET,
+            )
+            attn_out = fused_dense(
+                out.reshape(b, d), out_proj.kernel.astype(self.dtype),
+                bias=out_proj.bias if cfg.attention_bias else None,
+            )
+            mlp_in = x2 if cfg.use_parallel_residual else x2 + attn_out
+            y = fused_mlp(
+                mlp_in,
+                up.kernel.astype(self.dtype),
+                down.kernel.astype(self.dtype),
+                b1=up.bias if cfg.attention_bias else None,
+                b2=down.bias if cfg.attention_bias else None,
+                ln_scale=ln_2.scale, ln_bias=ln_2.bias,
+                eps=cfg.layer_norm_eps,
+                act="gelu",
+                residual=x2 + attn_out,
+            )
+            return y[:, None], LayerKV(k=kc, v=vc)
+
+        h = ln_1(x)
+        qkv = wqkv(h)
         # HF layout: (B, T, H, 3*Dh) then chunk -> per-head interleave
         qkv = qkv.reshape(b, t, cfg.num_heads, 3 * cfg.head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        rotary_ndims = int(cfg.head_dim * cfg.rotary_pct)
         cos, sin = rope_cos_sin(attn.position_ids, rotary_ndims, cfg.rope_theta)
         q, k = apply_rope(q, k, cos, sin)
-
-        from ...ops.attention import cached_self_attention
 
         out, new_kv = cached_self_attention(
             q, k, v, attn, layer_kv, scale=cfg.head_dim**-0.5
         )
-        attn_out = nn.Dense(cfg.hidden_size, **dense, name="dense")(merge_heads(out))
+        attn_out = out_proj(merge_heads(out))
 
         # parallel: x + attn(ln1(x)) + mlp(ln2(x))
         # sequential: x' = x + attn_out; x' + mlp(ln2(x'))
         mlp_in = x if cfg.use_parallel_residual else x + attn_out
-        h2 = nn.LayerNorm(**ln, name="post_attention_layernorm")(mlp_in)
-        h2 = nn.Dense(cfg.intermediate_size, **dense, name="dense_h_to_4h")(h2)
+        h2 = ln_2(mlp_in)
+        h2 = up(h2)
         h2 = gelu_exact(h2)
-        mlp_out = nn.Dense(cfg.hidden_size, **dense, name="dense_4h_to_h")(h2)
+        mlp_out = down(h2)
 
         return x + attn_out + mlp_out, new_kv

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import merge_heads
+from ..layers import PDense, merge_heads
 from .common import (
     AttnInputs,
     DecoderConfig,
@@ -25,19 +25,24 @@ Dtype = Any
 
 
 class RMSNorm(nn.Module):
-    """HF LlamaRMSNorm: fp32 variance, scale applied after cast back."""
+    """HF LlamaRMSNorm: fp32 variance, scale applied after cast back.
+    setup-declared scale so fused decode kernels can read it raw."""
 
+    features: int
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+        )
+
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.param("scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype)
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         xf = xf * jax.lax.rsqrt(var + self.eps)
-        return (w * xf.astype(self.dtype)).astype(self.dtype)
+        return (self.scale * xf.astype(self.dtype)).astype(self.dtype)
 
 
 from .common import repeat_kv  # noqa: E402  (re-export, lives in common)
@@ -64,11 +69,69 @@ class LlamaBlock(nn.Module):
             eps=cfg.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype
         )
         h_kv = cfg.kv_heads
+        d = cfg.hidden_size
+        n_rep = cfg.num_heads // h_kv
 
-        h = RMSNorm(**norm, name="input_layernorm")(x)
-        q = nn.Dense(cfg.num_heads * cfg.head_dim, **dense, name="q_proj")(h)
-        k = nn.Dense(h_kv * cfg.head_dim, **dense, name="k_proj")(h)
-        v = nn.Dense(h_kv * cfg.head_dim, **dense, name="v_proj")(h)
+        ln_1 = RMSNorm(d, **norm, name="input_layernorm")
+        q_proj = PDense(d, cfg.num_heads * cfg.head_dim, **dense, name="q_proj")
+        k_proj = PDense(d, h_kv * cfg.head_dim, **dense, name="k_proj")
+        v_proj = PDense(d, h_kv * cfg.head_dim, **dense, name="v_proj")
+        o_proj = PDense(cfg.num_heads * cfg.head_dim, d, **dense, name="o_proj")
+        ln_2 = RMSNorm(d, **norm, name="post_attention_layernorm")
+        gate_proj = PDense(d, cfg.intermediate_size, **dense, name="gate_proj")
+        up_proj = PDense(d, cfg.intermediate_size, **dense, name="up_proj")
+        down_proj = PDense(cfg.intermediate_size, d, **dense, name="down_proj")
+
+        from ...ops.attention import cached_self_attention
+        from ...ops.dense_stream import use_fused_decode
+
+        if use_fused_decode(t, attn.cached) and layer_kv is not None and n_rep == 1:
+            # decode (MHA): RMS+q/k/v, write+attend, out+residual, and a
+            # SwiGLU MLP (gate & up stream through one pipeline) as
+            # weight-streaming kernels. GQA (n_rep>1) falls through.
+            from ...ops import dense_stream
+            from ...ops.dense_stream import fused_dense, fused_mlp
+            from ...ops.decode_attention import decode_attention_update
+
+            x2 = x[:, 0]
+            ln_kw = dict(
+                ln_scale=ln_1.scale, eps=cfg.layer_norm_eps, norm="rms"
+            )
+            q = fused_dense(x2, q_proj.kernel.astype(self.dtype), **ln_kw)
+            k = fused_dense(x2, k_proj.kernel.astype(self.dtype), **ln_kw)
+            v = fused_dense(x2, v_proj.kernel.astype(self.dtype), **ln_kw)
+            q = q.reshape(b, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(b, h_kv, cfg.head_dim)
+            v = v.reshape(b, h_kv, cfg.head_dim)
+            cos, sin = rope_cos_sin(
+                attn.position_ids, cfg.head_dim, cfg.rope_theta
+            )
+            q, k = apply_rope(q[:, None], k[:, None], cos, sin)
+            out, kc, vc = decode_attention_update(
+                q[:, 0], layer_kv.k, layer_kv.v, k[:, 0], v,
+                attn.pad_mask, attn.kv_slot,
+                scale=cfg.head_dim**-0.5,
+                interpret=dense_stream.INTERPRET,
+            )
+            x2 = fused_dense(
+                out.reshape(b, cfg.num_heads * cfg.head_dim),
+                o_proj.kernel.astype(self.dtype), residual=x2,
+            )
+            y = fused_mlp(
+                x2,
+                gate_proj.kernel.astype(self.dtype),
+                down_proj.kernel.astype(self.dtype),
+                w1_gate=up_proj.kernel.astype(self.dtype),
+                ln_scale=ln_2.scale, eps=cfg.layer_norm_eps, norm="rms",
+                act="silu",
+                residual=x2,
+            )
+            return y[:, None], LayerKV(k=kc, v=vc)
+
+        h = ln_1(x)
+        q = q_proj(h)
+        k = k_proj(h)
+        v = v_proj(h)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, h_kv, cfg.head_dim)
         v = v.reshape(b, t, h_kv, cfg.head_dim)
@@ -76,18 +139,11 @@ class LlamaBlock(nn.Module):
         cos, sin = rope_cos_sin(attn.position_ids, cfg.head_dim, cfg.rope_theta)
         q, k = apply_rope(q, k, cos, sin)
 
-        n_rep = cfg.num_heads // h_kv
-        from ...ops.attention import cached_self_attention
-
         out, new_kv = cached_self_attention(
             q, k, v, attn, layer_kv, scale=cfg.head_dim**-0.5, n_rep=n_rep
         )
-        x = x + nn.Dense(cfg.hidden_size, **dense, name="o_proj")(merge_heads(out))
+        x = x + o_proj(merge_heads(out))
 
-        h = RMSNorm(**norm, name="post_attention_layernorm")(x)
-        gate = nn.Dense(cfg.intermediate_size, **dense, name="gate_proj")(h)
-        up = nn.Dense(cfg.intermediate_size, **dense, name="up_proj")(h)
-        down = nn.Dense(
-            cfg.hidden_size, **dense, name="down_proj"
-        )(jax.nn.silu(gate) * up)
+        h = ln_2(x)
+        down = down_proj(jax.nn.silu(gate_proj(h)) * up_proj(h))
         return x + down, new_kv

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import gelu_exact, merge_heads
+from ..layers import PDense, PLayerNorm, gelu_exact, merge_heads
 from .common import AttnInputs, DecoderConfig, LayerKV, alibi_bias
 
 Dtype = Any
@@ -35,6 +35,7 @@ class MPTBlock(nn.Module):
     ) -> Tuple[jax.Array, Optional[LayerKV]]:
         cfg = self.cfg
         b, t, _ = x.shape
+        d = cfg.hidden_size
         dense = dict(use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype)
         ln = dict(
             epsilon=cfg.layer_norm_eps,
@@ -42,9 +43,59 @@ class MPTBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        norm_1 = PLayerNorm(d, **ln, name="norm_1")
+        wqkv = PDense(d, 3 * d, **dense, name="Wqkv")
+        out_proj = PDense(d, d, **dense, name="out_proj")
+        norm_2 = PLayerNorm(d, **ln, name="norm_2")
+        up_proj = PDense(d, cfg.intermediate_size, **dense, name="up_proj")
+        down_proj = PDense(cfg.intermediate_size, d, **dense, name="down_proj")
 
-        h = nn.LayerNorm(**ln, name="norm_1")(x)
-        qkv = nn.Dense(3 * cfg.hidden_size, **dense, name="Wqkv")(h)
+        from ...ops.attention import cached_self_attention
+        from ...ops.dense_stream import use_fused_decode
+        from .common import alibi_slopes
+
+        slopes = alibi_slopes(cfg.num_heads, cfg.alibi_bias_max)
+
+        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+            # decode: 3 launches — LN1+QKV+clip, write+attend+out-proj+
+            # residual (head-grid, Wout streamed per head), fused MLP
+            from ...ops.decode_layer import attend_out_decode
+            from ...ops.dense_stream import fused_dense, fused_mlp
+
+            hd = cfg.head_dim
+            nh = cfg.num_heads
+            x2 = x[:, 0]
+            qkv = fused_dense(
+                x2, wqkv.kernel.astype(self.dtype),
+                ln_scale=norm_1.scale,
+                ln_bias=norm_1.bias if not cfg.ln_no_bias else None,
+                eps=cfg.layer_norm_eps,
+                clip=cfg.clip_qkv,
+            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            x2, kc, vc = attend_out_decode(
+                q.reshape(b, nh, hd),
+                layer_kv.k, layer_kv.v,
+                attn.pad_mask,
+                out_proj.kernel.astype(self.dtype).reshape(nh, hd, d),
+                scale=hd**-0.5,
+                k_new=k.reshape(b, nh, hd), v_new=v.reshape(b, nh, hd),
+                slot=attn.kv_slot, slopes=slopes, residual=x2,
+            )
+            y = fused_mlp(
+                x2,
+                up_proj.kernel.astype(self.dtype),
+                down_proj.kernel.astype(self.dtype),
+                ln_scale=norm_2.scale,
+                ln_bias=norm_2.bias if not cfg.ln_no_bias else None,
+                eps=cfg.layer_norm_eps,
+                act="gelu",
+                residual=x2,
+            )
+            return y[:, None], LayerKV(k=kc, v=vc)
+
+        h = norm_1(x)
+        qkv = wqkv(h)
         if cfg.clip_qkv:
             qkv = jnp.clip(qkv, -cfg.clip_qkv, cfg.clip_qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -52,20 +103,17 @@ class MPTBlock(nn.Module):
         k = k.reshape(b, t, cfg.num_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_heads, cfg.head_dim)
 
-        from ...ops.attention import cached_self_attention
-        from .common import alibi_slopes
-
         out, new_kv = cached_self_attention(
             q, k, v, attn, layer_kv,
             scale=cfg.head_dim**-0.5,
-            alibi_slopes=alibi_slopes(cfg.num_heads, cfg.alibi_bias_max),
+            alibi_slopes=slopes,
             bias=alibi_bias(cfg.num_heads, attn.kv_len, cfg.alibi_bias_max),
         )
-        out = nn.Dense(cfg.hidden_size, **dense, name="out_proj")(merge_heads(out))
+        out = out_proj(merge_heads(out))
         x = x + out
 
-        h = nn.LayerNorm(**ln, name="norm_2")(x)
-        h = nn.Dense(cfg.intermediate_size, **dense, name="up_proj")(h)
+        h = norm_2(x)
+        h = up_proj(h)
         h = gelu_exact(h)
-        h = nn.Dense(cfg.hidden_size, **dense, name="down_proj")(h)
+        h = down_proj(h)
         return x + h, new_kv

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import merge_heads
+from ..layers import PDense, PLayerNorm, merge_heads
 from .common import AttnInputs, DecoderConfig, LayerKV
 
 Dtype = Any
@@ -39,25 +39,75 @@ class OPTBlock(nn.Module):
             param_dtype=self.param_dtype,
         )
 
-        h = nn.LayerNorm(**ln, name="self_attn_layer_norm")(x)
-        q = nn.Dense(cfg.hidden_size, **dense, name="q_proj")(h)
-        k = nn.Dense(cfg.hidden_size, **dense, name="k_proj")(h)
-        v = nn.Dense(cfg.hidden_size, **dense, name="v_proj")(h)
+        d = cfg.hidden_size
+        ln_1 = PLayerNorm(d, **ln, name="self_attn_layer_norm")
+        q_proj = PDense(d, d, **dense, name="q_proj")
+        k_proj = PDense(d, d, **dense, name="k_proj")
+        v_proj = PDense(d, d, **dense, name="v_proj")
+        out_proj = PDense(d, d, **dense, name="out_proj")
+        ln_2 = PLayerNorm(d, **ln, name="final_layer_norm")
+        fc1 = PDense(d, cfg.intermediate_size, **dense, name="fc1")
+        fc2 = PDense(cfg.intermediate_size, d, **dense, name="fc2")
+
+        from ...ops.attention import cached_self_attention
+        from ...ops.dense_stream import use_fused_decode
+
+        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+            from ...ops import dense_stream
+            from ...ops.dense_stream import fused_dense, fused_mlp
+            from ...ops.decode_attention import decode_attention_update
+
+            x2 = x[:, 0]
+            ln_kw = dict(
+                ln_scale=ln_1.scale, ln_bias=ln_1.bias,
+                eps=cfg.layer_norm_eps,
+            )
+            q = fused_dense(x2, q_proj.kernel.astype(self.dtype),
+                            bias=q_proj.bias, **ln_kw)
+            k = fused_dense(x2, k_proj.kernel.astype(self.dtype),
+                            bias=k_proj.bias, **ln_kw)
+            v = fused_dense(x2, v_proj.kernel.astype(self.dtype),
+                            bias=v_proj.bias, **ln_kw)
+            out, kc, vc = decode_attention_update(
+                q.reshape(b, cfg.num_heads, cfg.head_dim),
+                layer_kv.k, layer_kv.v,
+                k.reshape(b, cfg.num_heads, cfg.head_dim),
+                v.reshape(b, cfg.num_heads, cfg.head_dim),
+                attn.pad_mask, attn.kv_slot,
+                scale=cfg.head_dim**-0.5,
+                interpret=dense_stream.INTERPRET,
+            )
+            x2 = fused_dense(
+                out.reshape(b, d), out_proj.kernel.astype(self.dtype),
+                bias=out_proj.bias, residual=x2,
+            )
+            y = fused_mlp(
+                x2,
+                fc1.kernel.astype(self.dtype),
+                fc2.kernel.astype(self.dtype),
+                b1=fc1.bias, b2=fc2.bias,
+                ln_scale=ln_2.scale, ln_bias=ln_2.bias,
+                eps=cfg.layer_norm_eps,
+                act="relu",
+                residual=x2,
+            )
+            return y[:, None], LayerKV(k=kc, v=vc)
+
+        h = ln_1(x)
+        q = q_proj(h)
+        k = k_proj(h)
+        v = v_proj(h)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_heads, cfg.head_dim)
 
-        from ...ops.attention import cached_self_attention
-
         out, new_kv = cached_self_attention(
             q, k, v, attn, layer_kv, scale=cfg.head_dim**-0.5
         )
-        x = x + nn.Dense(cfg.hidden_size, **dense, name="out_proj")(
-            merge_heads(out)
-        )
+        x = x + out_proj(merge_heads(out))
 
-        h = nn.LayerNorm(**ln, name="final_layer_norm")(x)
-        h = nn.Dense(cfg.intermediate_size, **dense, name="fc1")(h)
+        h = ln_2(x)
+        h = fc1(h)
         h = jax.nn.relu(h)
-        h = nn.Dense(cfg.hidden_size, **dense, name="fc2")(h)
+        h = fc2(h)
         return x + h, new_kv

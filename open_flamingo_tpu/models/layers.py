@@ -29,6 +29,75 @@ def gelu_exact(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+class PDense(nn.Module):
+    """nn.Dense with setup()-declared params so fused decode kernels can
+    read `.kernel`/`.bias` as raw arrays (nn.Dense hides them inside its
+    compact scope). Same param tree ("<name>/kernel", "<name>/bias") and
+    identical numerics to nn.Dense."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            self.param_dtype,
+        )
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        bias = self.bias if self.use_bias else None
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, self.kernel, bias, dtype=self.dtype
+        )
+        y = jnp.dot(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class PLayerNorm(nn.Module):
+    """nn.LayerNorm with setup()-declared params (see PDense). Mirrors
+    flax semantics exactly: f32 stats with fast variance
+    (max(0, E[x^2]-E[x]^2)), f32 normalize/scale/bias, cast to dtype."""
+
+    features: int
+    epsilon: float = LN_EPS
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+        )
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        mean2 = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * self.scale.astype(jnp.float32)
+        if self.use_bias:
+            y = y + self.bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
 class FeedForward(nn.Module):
     """LayerNorm -> Dense(mult*dim, no bias) -> GELU -> Dense(dim, no bias).
 
@@ -40,21 +109,18 @@ class FeedForward(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def setup(self):
         inner = int(self.dim * self.mult)
-        x = nn.LayerNorm(
-            epsilon=LN_EPS, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"
-        )(x)
-        x = nn.Dense(
-            inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="fc1",
-        )(x)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.norm = PLayerNorm(self.dim, epsilon=LN_EPS, **kw)
+        self.fc1 = PDense(self.dim, inner, use_bias=False, **kw)
+        self.fc2 = PDense(inner, self.dim, use_bias=False, **kw)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.norm(x)
+        x = self.fc1(x)
         x = gelu_exact(x)
-        x = nn.Dense(
-            self.dim, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="fc2",
-        )(x)
+        x = self.fc2(x)
         return x
 
 

@@ -23,6 +23,7 @@ from .decoders.gptneox import GPTNeoXBlock
 from .decoders.llama import LlamaBlock, RMSNorm
 from .decoders.mpt import MPTBlock
 from .decoders.opt import OPTBlock
+from .layers import PDense, PLayerNorm
 from .xattn import GatedCrossAttentionBlock, build_media_masks, use_xattn_kernel
 
 Dtype = Any
@@ -272,32 +273,74 @@ class FlamingoLM(nn.Module):
                 )(x, attn, layer_kv)
                 new_layers.append(new_kv)
 
+        from ..ops.dense_stream import use_fused_decode
+
+        norm_f = None
         if cfg.family == "llama":
-            x = RMSNorm(
+            rms_f = RMSNorm(
+                cfg.hidden_size,
                 eps=cfg.layer_norm_eps,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="norm_f",
-            )(x)
+            )
         else:
-            x = nn.LayerNorm(
+            norm_f = PLayerNorm(
+                cfg.hidden_size,
                 epsilon=cfg.layer_norm_eps,
                 use_bias=not cfg.ln_no_bias,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="norm_f",
-            )(x)
-
-        if cfg.tie_word_embeddings:
-            logits = embed.attend(x)
-        else:
-            logits = nn.Dense(
+            )
+        head = None
+        if not cfg.tie_word_embeddings:
+            head = PDense(
+                cfg.hidden_size,
                 cfg.vocab_size,
                 use_bias=cfg.lm_head_bias,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="lm_head",
-            )(x)
+            )
+
+        bn = min(2048, cfg.vocab_size)  # ragged tail handled in-kernel
+        if use_fused_decode(input_ids.shape[1], cache is not None):
+            # decode: the final norm fuses into the vocab-projection
+            # stream — for tied embeddings the (V, d) table streams
+            # transposed, never materializing a (d, V) copy.
+            from ..ops.dense_stream import fused_dense
+
+            if norm_f is not None:
+                ln_kw = dict(
+                    ln_scale=norm_f.scale,
+                    ln_bias=norm_f.bias if not cfg.ln_no_bias else None,
+                    eps=cfg.layer_norm_eps,
+                    block_n=bn,
+                )
+            else:
+                ln_kw = dict(
+                    ln_scale=rms_f.scale, eps=cfg.layer_norm_eps,
+                    norm="rms", block_n=bn,
+                )
+            if cfg.tie_word_embeddings:
+                logits = fused_dense(
+                    x[:, 0], embed.embedding.astype(self.dtype),
+                    w_transposed=True, **ln_kw,
+                )
+            else:
+                logits = fused_dense(
+                    x[:, 0], head.kernel.astype(self.dtype),
+                    bias=head.bias if cfg.lm_head_bias else None,
+                    **ln_kw,
+                )
+            logits = logits[:, None]
+        else:
+            x = rms_f(x) if norm_f is None else norm_f(x)
+            if cfg.tie_word_embeddings:
+                logits = embed.attend(x)
+            else:
+                logits = head(x)
         logits = logits.astype(jnp.float32)
 
         if cache is not None:

@@ -24,7 +24,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import LN_EPS, FeedForward, merge_heads, split_heads
+from .layers import (
+    LN_EPS,
+    FeedForward,
+    PDense,
+    PLayerNorm,
+    merge_heads,
+    split_heads,
+)
 
 Dtype = Any
 
@@ -91,6 +98,8 @@ class MaskedCrossAttention(nn.Module):
         media_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
         media_mask: Optional[jax.Array] = None,
         zero_rows: Optional[jax.Array] = None,
+        out_gate: Optional[jax.Array] = None,
+        out_residual: Optional[jax.Array] = None,
     ) -> jax.Array:
         """
         x:          (B, T_txt, D_txt) text features
@@ -104,15 +113,35 @@ class MaskedCrossAttention(nn.Module):
         media_mask: optional precomputed mask (B,1,T_txt,S_m) bool — it is
                     layer-independent, so FlamingoLM builds it once.
         zero_rows:  goes with media_mask (immediate-mode zeroing).
+        out_gate/out_residual: optional tanh-gate + residual folded into
+                    the output projection (fused into the decode kernel
+                    on the fast path; applied after to_out otherwise).
         """
         b, t_img, n_lat, _ = media.shape
         inner = self.dim_head * self.heads
         dense = dict(use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype)
+        from ..ops.dense_stream import use_fused_decode
 
-        x = nn.LayerNorm(
-            epsilon=LN_EPS, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"
-        )(x)
-        q = nn.Dense(inner, **dense, name="to_q")(x)
+        norm = PLayerNorm(
+            self.dim, epsilon=LN_EPS, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="norm",
+        )
+        to_q = PDense(self.dim, inner, **dense, name="to_q")
+        to_out_mod = PDense(inner, self.dim, **dense, name="to_out")
+
+        tq0 = x.shape[1]
+        if (
+            media_kv is not None
+            and use_fused_decode(tq0, True)
+            and self.only_attend_immediate_media
+        ):
+            return self._fused_decode(
+                x, media_kv, text_time, t_img, n_lat,
+                norm, to_q, to_out_mod, out_gate, out_residual,
+            )
+
+        x = norm(x)
+        q = to_q(x)
         if media_kv is None:
             media_flat = media.reshape(b, t_img * n_lat, media.shape[-1])
             kv = nn.Dense(inner * 2, **dense, name="to_kv")(media_flat)
@@ -172,7 +201,46 @@ class MaskedCrossAttention(nn.Module):
                 q * scale, k, v, mask=media_mask, zero_rows=zero_rows
             )
         out = merge_heads(out)
-        return nn.Dense(self.dim, **dense, name="to_out")(out)
+        out = to_out_mod(out)
+        if out_gate is not None:
+            out = out * jnp.tanh(out_gate)
+        if out_residual is not None:
+            out = out + out_residual
+        return out
+
+    def _fused_decode(
+        self, x, media_kv, text_time, t_img, n_lat,
+        norm, to_q, to_out_mod, out_gate, out_residual,
+    ):
+        """Single-token decode: LN+q-proj runs as a weight-streaming
+        kernel; the media-time-masked attend over cached media K/V, the
+        output projection, the tanh gate, and the residual merge into one
+        head-grid launch. Rows whose text has no preceding image
+        (all-masked) contribute exact zeros — the immediate-mode rule."""
+        from ..ops.decode_layer import attend_out_decode
+        from ..ops.dense_stream import fused_dense
+
+        k, v = media_kv
+        b = x.shape[0]
+        media_time = (
+            jax.lax.broadcasted_iota(jnp.int32, (t_img, n_lat), 0)
+            .reshape(-1) + 1
+        )
+        q = fused_dense(
+            x[:, 0], to_q.kernel.astype(self.dtype),
+            ln_scale=norm.scale, ln_bias=norm.bias, eps=LN_EPS,
+        )
+        mask2d = text_time[:, :1] == media_time[None, :]   # (B, S_m)
+        out = attend_out_decode(
+            q.reshape(b, self.heads, self.dim_head), k, v, mask2d,
+            to_out_mod.kernel.astype(self.dtype).reshape(
+                self.heads, self.dim_head, self.dim
+            ),
+            scale=self.dim_head**-0.5,
+            gate=out_gate,
+            residual=None if out_residual is None else out_residual[:, 0],
+        )
+        return out[:, None]
 
 
 class GatedCrossAttentionBlock(nn.Module):
@@ -208,7 +276,15 @@ class GatedCrossAttentionBlock(nn.Module):
             "ff_gate", nn.initializers.zeros, (1,), self.param_dtype
         ).astype(self.dtype)
 
-        attn_out = MaskedCrossAttention(
+        from ..ops.dense_stream import use_fused_decode
+
+        fused = (
+            media_kv is not None
+            and use_fused_decode(x.shape[1], True)
+            and self.only_attend_immediate_media
+        )
+
+        xattn = MaskedCrossAttention(
             dim=self.dim,
             dim_visual=self.dim_visual,
             dim_head=self.dim_head,
@@ -217,15 +293,39 @@ class GatedCrossAttentionBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(x, media, text_time, media_kv, media_mask, zero_rows)
-        x = attn_out * jnp.tanh(attn_gate) + x
-
-        ff_out = FeedForward(
+        )
+        ff = FeedForward(
             dim=self.dim,
             mult=self.ff_mult,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="ff",
-        )(x)
+        )
+
+        if fused:
+            # decode: gate+residual fold into the attention out-proj
+            # kernel; the FF (the layer's biggest weight stream) runs as
+            # one fused LN+fc1+gelu+fc2+gate+residual launch.
+            from ..ops.dense_stream import fused_mlp
+
+            x = xattn(
+                x, media, text_time, media_kv, media_mask, zero_rows,
+                out_gate=attn_gate, out_residual=x,
+            )
+            y = fused_mlp(
+                x[:, 0],
+                ff.fc1.kernel.astype(self.dtype),
+                ff.fc2.kernel.astype(self.dtype),
+                ln_scale=ff.norm.scale, ln_bias=ff.norm.bias, eps=LN_EPS,
+                act="gelu",
+                residual=x[:, 0],
+                gate=ff_gate,
+            )
+            return y[:, None]
+
+        attn_out = xattn(x, media, text_time, media_kv, media_mask, zero_rows)
+        x = attn_out * jnp.tanh(attn_gate) + x
+
+        ff_out = ff(x)
         x = ff_out * jnp.tanh(ff_gate) + x
         return x

@@ -1,0 +1,275 @@
+"""Merged attend+output-projection decode kernel.
+
+The fused decode path streams each layer's weights at HBM line rate
+(dense_stream kernels), but at B<=64 every extra launch still pays a
+fixed dispatch/pipeline cost that is material next to a 10-50us weight
+stream. This kernel merges the *attention tail* of a decode layer into
+one launch with a head-indexed grid:
+
+    for h in heads:                       # grid dimension, pipelined
+        cache[h, slot] = (k_new[h], v_new[h])     # aliased slot block
+        a_h  = softmax(q_h K_h^T + bias_h) V_h    # fp32, masked
+        acc += a_h @ Wout[h]                      # per-head out-proj
+    y = acc * tanh(gate)? + residual?
+
+so one launch covers what was previously attention kernel + output
+projection (+ gate + residual), and the Wout stream overlaps the attend
+compute through Mosaic's block pipeline. Used for both the self-attention
+tail (with the in-place cache write, ALiBi optional) and the gated
+cross-attention tail over the static cached media K/V (mask = media-time
+equality; all-masked rows contribute exact zeros — the immediate-mode
+rule of the reference, open_flamingo/src/helpers.py:167-176).
+
+All tensor blocks keep the layouts the proven decode_attention kernel
+uses ((B, 1, ...) head slices, head-major caches) — no in-kernel
+sublane/lane-crossing reshapes, which Mosaic cannot lower.
+
+Replaced torch path: HF per-layer decode driven by
+open_flamingo/src/flamingo.py:124-175 generate().
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+
+
+def _attend_out_kernel(
+    slot_ref,       # (1,) int32 scalar prefetch (0 when update=False)
+    q_ref,          # (B, 1, 1, Dh) — this head's queries (pre-scaled)
+    k_ref,          # (B, 1, S, Dh) this head's cache/media keys
+    v_ref,
+    mask_ref,       # (B, S) int32 validity
+    slope_ref,      # (1, 1, 1) f32 — this head's ALiBi slope block
+    wout_ref,       # (1, Dh, D) this head's slice of the out projection
+    *rest,
+    kv_len, block_s, use_alibi, update, has_gate, has_residual,
+):
+    i = 0
+    kn_ref = vn_ref = None
+    if update:
+        kn_ref, vn_ref = rest[i], rest[i + 1]
+        i += 2
+    gate_ref = rest[i] if has_gate else None
+    i += has_gate
+    res_ref = rest[i] if has_residual else None
+    i += has_residual
+    y_ref = rest[i]
+    i += 1
+    if update:
+        ko_ref, vo_ref = rest[i], rest[i + 1]
+        i += 2
+    acc_ref = rest[i]
+
+    h = pl.program_id(0)
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:, 0, 0].astype(jnp.float32)              # (B, Dh)
+    k = k_ref[:, 0]                                     # (B, S, Dh)
+    v = v_ref[:, 0]
+    slot = slot_ref[0]
+
+    if update:
+        k_new = kn_ref[:, 0, 0]                         # (B, Dh)
+        v_new = vn_ref[:, 0, 0]
+        # flush only the S-block containing the slot (aliased cache)
+        blk = slot // block_s
+        off = slot - blk * block_s
+        in_blk = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, block_s, 1), 1) == off
+        )
+        k_blk = k_ref[:, 0, pl.ds(blk * block_s, block_s), :]
+        v_blk = v_ref[:, 0, pl.ds(blk * block_s, block_s), :]
+        kn = k_new[:, None, :].astype(k.dtype)
+        vn = v_new[:, None, :].astype(v.dtype)
+        ko_ref[:, 0] = jnp.where(in_blk, kn, k_blk)
+        vo_ref[:, 0] = jnp.where(in_blk, vn, v_blk)
+        # overlay the new token in-register for this step's attention
+        at_slot = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, kv_len, 1), 1) == slot
+        )
+        k = jnp.where(at_slot, kn, k)
+        v = jnp.where(at_slot, vn, v)
+
+    s = jnp.sum(q[:, None, :] * k.astype(jnp.float32), axis=-1)  # (B, S)
+    if use_alibi:
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        # slope arrives as this head's (1, 1, 1) block — a dynamic lane
+        # extract (slopes[0, h]) cannot be proven 128-aligned by Mosaic
+        s = s + slope_ref[0] * (k_pos - (kv_len - 1)).astype(jnp.float32)
+    valid = mask_ref[...] > 0
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(valid, jnp.exp(s - m), 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    denom = jnp.where(denom == 0.0, 1.0, denom)          # all-masked -> 0
+    a = jnp.sum((p / denom)[..., None] * v.astype(jnp.float32), axis=1)
+
+    acc_ref[...] += jax.lax.dot_general(
+        a.astype(wout_ref.dtype), wout_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (B, D)
+
+    @pl.when(h == pl.num_programs(0) - 1)
+    def _fin():
+        y = acc_ref[...]
+        if has_gate:
+            y = y * jnp.tanh(gate_ref[...].astype(jnp.float32))
+        if has_residual:
+            y = y + res_ref[...].astype(jnp.float32)
+        y_ref[...] = y.astype(y_ref.dtype)
+
+
+def attend_out_decode(
+    q: jax.Array,            # (B, H, Dh) — unscaled queries
+    k_cache: jax.Array,      # (B, H, S, Dh)
+    v_cache: jax.Array,
+    mask: jax.Array,         # (B, S) validity (pad or media-time rule)
+    wout: jax.Array,         # (H, Dh, D) out projection, head-sliced
+    *,
+    scale: float,
+    k_new: Optional[jax.Array] = None,   # (B, H, Dh): write at slot
+    v_new: Optional[jax.Array] = None,
+    slot=None,               # scalar int32 (required with k_new)
+    slopes=None,             # static (H,) ALiBi slopes or None
+    gate: Optional[jax.Array] = None,     # scalar: y *= tanh(gate)
+    residual: Optional[jax.Array] = None,  # (B, D)
+    block_s: int = 16,
+    interpret: Optional[bool] = None,
+):
+    """One-launch attention tail. Returns y (B, D), or
+    (y, k_cache', v_cache') when k_new/v_new are given."""
+    from .dense_stream import INTERPRET
+
+    interpret = INTERPRET if interpret is None else interpret
+    b, h, dh = q.shape
+    s_max = k_cache.shape[2]
+    d = wout.shape[-1]
+    update = k_new is not None
+    block_s = min(block_s, s_max)
+    assert s_max % block_s == 0, (s_max, block_s)
+
+    if slopes is None:
+        slopes2 = jnp.zeros((h, 1, 1), jnp.float32)
+    else:
+        slopes2 = jnp.asarray(slopes, jnp.float32).reshape(h, 1, 1)
+    slot1 = jnp.asarray(0 if slot is None else slot, jnp.int32).reshape(1)
+
+    operands = [
+        # 4D (B, H, 1, Dh): keeps each head block's last two dims equal
+        # to the full array dims (Mosaic tiling requirement)
+        (q.astype(jnp.float32) * scale).astype(q.dtype)[:, :, None, :],
+        k_cache, v_cache,
+        mask.astype(jnp.int32), slopes2, wout,
+    ]
+    in_specs = [
+        pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
+        pl.BlockSpec((b, 1, s_max, dh), lambda hh, slot: (0, hh, 0, 0)),
+        pl.BlockSpec((b, 1, s_max, dh), lambda hh, slot: (0, hh, 0, 0)),
+        pl.BlockSpec((b, s_max), lambda hh, slot: (0, 0)),
+        pl.BlockSpec((1, 1, 1), lambda hh, slot: (hh, 0, 0)),
+        pl.BlockSpec((1, dh, d), lambda hh, slot: (hh, 0, 0)),
+    ]
+    if update:
+        operands += [k_new[:, :, None, :], v_new[:, :, None, :]]
+        in_specs += [
+            pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
+            pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
+        ]
+    if gate is not None:
+        operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
+        in_specs.append(pl.BlockSpec((1, 1), lambda hh, slot: (0, 0)))
+    if residual is not None:
+        operands.append(residual)
+        in_specs.append(pl.BlockSpec((b, d), lambda hh, slot: (0, 0)))
+
+    out_specs = [pl.BlockSpec((b, d), lambda hh, slot: (0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, d), q.dtype)]
+    aliases = {}
+    if update:
+        out_specs += [
+            pl.BlockSpec(
+                (b, 1, block_s, dh),
+                lambda hh, slot: (0, hh, slot[0] // block_s, 0),
+            ),
+            pl.BlockSpec(
+                (b, 1, block_s, dh),
+                lambda hh, slot: (0, hh, slot[0] // block_s, 0),
+            ),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ]
+        # positional: (slot, q, k, v, mask, slopes, wout, k_new, v_new...)
+        aliases = {2: 1, 3: 2}
+
+    kernel = functools.partial(
+        _attend_out_kernel,
+        kv_len=s_max, block_s=block_s,
+        use_alibi=slopes is not None, update=update,
+        has_gate=gate is not None, has_residual=residual is not None,
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(h,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((b, d), jnp.float32)],
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(slot1, *operands)
+    if update:
+        return res[0], res[1], res[2]
+    return res[0]
+
+
+def reference_attend_out(
+    q, k, v, mask, wout, *, scale, k_new=None, v_new=None, slot=None,
+    slopes=None, gate=None, residual=None,
+):
+    """jnp semantics mirror (parity tests). wout: (H, Dh, D)."""
+    b, h, dh = q.shape
+    s_max = k.shape[2]
+    if k_new is not None:
+        k = k.at[:, :, slot].set(k_new.astype(k.dtype))
+        v = v.at[:, :, slot].set(v_new.astype(v.dtype))
+    logits = jnp.einsum(
+        "bhd,bhsd->bhs", q.astype(jnp.float32) * scale,
+        k.astype(jnp.float32),
+    )
+    if slopes is not None:
+        pos = jnp.arange(s_max, dtype=jnp.float32) - (s_max - 1)
+        logits = logits + jnp.asarray(slopes, jnp.float32)[None, :, None] * pos
+    mb = mask.astype(bool)[:, None, :]
+    logits = jnp.where(mb, logits, NEG_INF)
+    m = logits.max(-1, keepdims=True)
+    p = jnp.where(mb, jnp.exp(logits - m), 0.0)
+    denom = p.sum(-1, keepdims=True)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    a = jnp.einsum("bhs,bhsd->bhd", p / denom, v.astype(jnp.float32))
+    y = jnp.einsum("bhd,hdo->bo", a.astype(wout.dtype), wout)
+    if gate is not None:
+        y = y * jnp.tanh(jnp.asarray(gate, jnp.float32)).reshape(())
+    if residual is not None:
+        y = y + residual.astype(y.dtype)
+    out = y.astype(q.dtype)
+    if k_new is not None:
+        return out, k, v
+    return out

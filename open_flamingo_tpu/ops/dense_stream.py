@@ -1,0 +1,441 @@
+"""Fused streaming dense kernels for the single-token decode path.
+
+Autoregressive decode is weight-DMA-bound: every generated token streams
+every layer's weight matrices HBM->VMEM once, and the per-token compute
+(a (B, K) x (K, N) mat-vec batch, B<=64) is negligible next to the DMA.
+XLA's decode graph for one transformer layer is ~10 separate fusions
+(LN stats, convert, matmul, clip, residual, ...), and its
+memory-space-assignment pass streams the weights through latency-bound
+chunked VMEM copies at well below HBM line rate (~440 GB/s of an
+~819 GB/s v5e roofline, measured — see CLAUDE.md profile notes).
+
+These kernels collapse a layer's decode step into two launches whose
+weight blocks are pipelined by Mosaic's double-buffered block fetcher at
+line rate, with every elementwise op (LayerNorm, bias, clip, activation,
+gate, residual) fused in:
+
+  * fused_dense:  y = epilogue(maybe_ln(x) @ W), grid over N blocks —
+    covers QKV projections and attention output projections.
+  * fused_mlp:    y = residual + gate * (act(maybe_ln(x) @ W1 + b1) @ W2
+    + b2), grid over the hidden (K2) axis with an fp32 VMEM accumulator —
+    the intermediate activation never touches HBM and BOTH weight
+    matrices stream through one pipeline.
+
+The replaced torch path: HF's per-layer decode modules driven by
+open_flamingo/src/flamingo.py:124-175 generate().
+
+All math is fp32 in-kernel (LN stats, matmul accumulation via
+preferred_element_type, activation); outputs cast to the input dtype.
+x is expected tiny ((B, K), B<=~64) and is re-read per grid step — the
+redundant LN flops are irrelevant at this size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# Test hooks: FORCE_FUSED routes the blocks' decode path through the
+# fused kernels regardless of backend; INTERPRET runs them in pallas
+# interpret mode (CPU).
+FORCE_FUSED = False
+INTERPRET = False
+
+
+def use_fused_decode(tq: int, cached: bool) -> bool:
+    """Single-token decode against a cache on TPU -> fused kernels."""
+    if FORCE_FUSED:
+        return tq == 1 and cached
+    return tq == 1 and cached and jax.default_backend() == "tpu"
+
+
+def _norm_f32(x, scale_ref, bias_ref, eps, kind="layer"):
+    """fp32 normalization over the last axis. kind="layer": LayerNorm
+    with flax fast-variance semantics (var = max(0, E[x^2] - E[x]^2));
+    kind="rms": RMSNorm (HF Llama). scale/bias refs optional."""
+    x = x.astype(jnp.float32)
+    if kind == "rms":
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps)
+    else:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            0.0,
+            jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mu),
+        )
+        h = (x - mu) * jax.lax.rsqrt(var + eps)
+    if scale_ref is not None:
+        h = h * scale_ref[0].astype(jnp.float32)
+    if bias_ref is not None:
+        h = h + bias_ref[0].astype(jnp.float32)
+    return h
+
+
+def _erf_f32(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|abs err| <= 1.5e-7, under
+    fp32 matmul noise) — Mosaic has no erf/erfc lowering."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _act_f32(h, act: Optional[str]):
+    if act is None:
+        return h
+    if act == "gelu":
+        # exact (erf) GELU, matching torch.nn.GELU default
+        return 0.5 * h * (1.0 + _erf_f32(h * (2.0 ** -0.5)))
+    if act == "gelu_new":
+        return jax.nn.gelu(h, approximate=True)
+    if act == "silu":
+        return jax.nn.silu(h)
+    if act == "relu":
+        return jnp.maximum(h, 0.0)
+    raise ValueError(f"unknown act {act!r}")
+
+
+def _dense_kernel(
+    x_ref, w_ref, *rest,
+    eps, act, clip, norm, has_ln, has_ln_bias, has_bias, has_residual,
+    has_gate, w_transposed=False,
+):
+    i = 0
+    ln_s = rest[i] if has_ln else None
+    i += has_ln
+    ln_b = rest[i] if has_ln_bias else None
+    i += has_ln_bias
+    b_ref = rest[i] if has_bias else None
+    i += has_bias
+    res_ref = rest[i] if has_residual else None
+    i += has_residual
+    gate_ref = rest[i] if has_gate else None
+    i += has_gate
+    o_ref = rest[i]
+
+    h = _norm_f32(x_ref[...], ln_s, ln_b, eps, norm) if has_ln else (
+        x_ref[...].astype(jnp.float32)
+    )
+    y = jax.lax.dot_general(
+        h.astype(x_ref.dtype), w_ref[...],
+        (((1,), (1 if w_transposed else 0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_bias:
+        y = y + b_ref[0].astype(jnp.float32)
+    if clip is not None:
+        y = jnp.clip(y, -clip, clip)
+    y = _act_f32(y, act)
+    if has_gate:
+        # full-ref read: Mosaic only supports 32-bit scalar extracts,
+        # and the gate may be bf16 — broadcast the (1, 1) array instead
+        y = y * jnp.tanh(gate_ref[...].astype(jnp.float32))
+    if has_residual:
+        y = y + res_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def fused_dense(
+    x: jax.Array,               # (B, K)
+    w: jax.Array,               # (K, N)
+    *,
+    bias: Optional[jax.Array] = None,        # (N,)
+    ln_scale: Optional[jax.Array] = None,     # (K,) -> norm(x) first
+    ln_bias: Optional[jax.Array] = None,
+    eps: float = 1e-5,
+    norm: str = "layer",                       # "layer" | "rms"
+    act: Optional[str] = None,
+    clip: Optional[float] = None,
+    residual: Optional[jax.Array] = None,     # (B, N)
+    gate: Optional[jax.Array] = None,         # scalar/(1,): *tanh(gate)
+    w_transposed: bool = False,                # w is (N, K); y = x @ w.T
+    block_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """epilogue(LN?(x) @ W): one launch, weights streamed at line rate.
+
+    Epilogue order: +bias -> clip -> act -> *tanh(gate) -> +residual.
+    w_transposed streams a (N, K) weight (e.g. a tied embedding table
+    used as the LM head) without materializing its transpose.
+    """
+    interpret = INTERPRET if interpret is None else interpret
+    b, k = x.shape
+    if w_transposed:
+        n, k2 = w.shape
+    else:
+        k2, n = w.shape
+    assert k == k2, (x.shape, w.shape)
+    block_n = min(block_n, n)
+    # ragged N (e.g. a vocab that isn't lane-aligned) is fine: the last
+    # block's out-of-bounds columns read garbage weights whose products
+    # stay in that block's discarded output region (masked stores)
+
+    operands = [x, w]
+    in_specs = [
+        pl.BlockSpec((b, k), lambda i: (0, 0)),
+        pl.BlockSpec((block_n, k), lambda i: (i, 0))
+        if w_transposed
+        else pl.BlockSpec((k, block_n), lambda i: (0, i)),
+    ]
+
+    def vec(v, dim):
+        return jnp.asarray(v).reshape(1, dim)
+
+    if ln_scale is not None:
+        operands.append(vec(ln_scale, k))
+        in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
+    if ln_bias is not None:
+        assert ln_scale is not None
+        operands.append(vec(ln_bias, k))
+        in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
+    if bias is not None:
+        operands.append(vec(bias, n))
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i: (0, i)))
+    if residual is not None:
+        operands.append(residual)
+        in_specs.append(pl.BlockSpec((b, block_n), lambda i: (0, i)))
+    if gate is not None:
+        operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0)))
+
+    kernel = functools.partial(
+        _dense_kernel,
+        eps=eps, act=act, clip=clip, norm=norm,
+        has_ln=ln_scale is not None,
+        has_ln_bias=ln_bias is not None,
+        has_bias=bias is not None,
+        has_residual=residual is not None,
+        has_gate=gate is not None,
+        w_transposed=w_transposed,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, block_n),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, block_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
+        # default scoped-vmem budget is 16MB; raise it so 4-8MB weight
+        # blocks double-buffer (bigger DMAs -> closer to HBM line rate)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(*operands)
+
+
+def _mlp_kernel(
+    x_ref, w1_ref, w2_ref, *rest,
+    eps, act, norm, has_ln, has_ln_bias, has_w1b, has_b1, has_b2,
+    has_residual, has_gate,
+):
+    i = 0
+    w1b_ref = rest[i] if has_w1b else None
+    i += has_w1b
+    ln_s = rest[i] if has_ln else None
+    i += has_ln
+    ln_b = rest[i] if has_ln_bias else None
+    i += has_ln_bias
+    b1_ref = rest[i] if has_b1 else None
+    i += has_b1
+    b2_ref = rest[i] if has_b2 else None
+    i += has_b2
+    res_ref = rest[i] if has_residual else None
+    i += has_residual
+    gate_ref = rest[i] if has_gate else None
+    i += has_gate
+    o_ref, acc_ref = rest[i], rest[i + 1]
+
+    ki = pl.program_id(0)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if has_ln:
+        h = _norm_f32(x_ref[...], ln_s, ln_b, eps, norm)
+    else:
+        h = x_ref[...].astype(jnp.float32)
+    hd = h.astype(x_ref.dtype)
+    u = jax.lax.dot_general(
+        hd, w1_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                            # (B, BK2)
+    if has_b1:
+        u = u + b1_ref[0].astype(jnp.float32)
+    u = _act_f32(u, act)
+    if has_w1b:
+        # SwiGLU: act(x@w1) * (x@w1b)
+        u = u * jax.lax.dot_general(
+            hd, w1b_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[...] += jax.lax.dot_general(
+        u.astype(x_ref.dtype), w2_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                            # (B, N)
+
+    @pl.when(ki == pl.num_programs(0) - 1)
+    def _fin():
+        y = acc_ref[...]
+        if has_b2:
+            y = y + b2_ref[0].astype(jnp.float32)
+        if has_gate:
+            # (1, 1) array read — sub-32-bit scalar extracts unsupported
+            y = y * jnp.tanh(gate_ref[...].astype(jnp.float32))
+        if has_residual:
+            y = y + res_ref[...].astype(jnp.float32)
+        o_ref[...] = y.astype(o_ref.dtype)
+
+
+def fused_mlp(
+    x: jax.Array,               # (B, K)
+    w1: jax.Array,              # (K, K2)
+    w2: jax.Array,              # (K2, N)
+    *,
+    w1_gate: Optional[jax.Array] = None,       # (K, K2) SwiGLU up-proj
+    b1: Optional[jax.Array] = None,
+    b2: Optional[jax.Array] = None,
+    ln_scale: Optional[jax.Array] = None,
+    ln_bias: Optional[jax.Array] = None,
+    eps: float = 1e-5,
+    norm: str = "layer",
+    act: str = "gelu",
+    residual: Optional[jax.Array] = None,      # (B, N)
+    gate: Optional[jax.Array] = None,
+    block_k2: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """residual + tanh(gate) * (act(LN?(x) @ W1 + b1) @ W2 + b2).
+
+    With w1_gate (SwiGLU): u = act(h @ W1 + b1) * (h @ w1_gate).
+    Grid over the hidden axis: step i streams W1[:, i] and W2[i, :]
+    blocks through one pipeline and accumulates partial products in an
+    fp32 VMEM scratch — the (B, K2) intermediate never exists in HBM.
+    """
+    b, k = x.shape
+    k1, k2 = w1.shape
+    k2b, n = w2.shape
+    interpret = INTERPRET if interpret is None else interpret
+    assert k1 == k and k2b == k2, (x.shape, w1.shape, w2.shape)
+    block_k2 = min(block_k2, k2)
+    assert k2 % block_k2 == 0, (k2, block_k2)
+
+    operands = [x, w1, w2]
+    in_specs = [
+        pl.BlockSpec((b, k), lambda i: (0, 0)),
+        pl.BlockSpec((k, block_k2), lambda i: (0, i)),
+        pl.BlockSpec((block_k2, n), lambda i: (i, 0)),
+    ]
+    if w1_gate is not None:
+        operands.append(w1_gate)
+        in_specs.append(pl.BlockSpec((k, block_k2), lambda i: (0, i)))
+
+    def vec(v, dim):
+        return jnp.asarray(v).reshape(1, dim)
+
+    if ln_scale is not None:
+        operands.append(vec(ln_scale, k))
+        in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
+    if ln_bias is not None:
+        assert ln_scale is not None
+        operands.append(vec(ln_bias, k))
+        in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
+    if b1 is not None:
+        operands.append(vec(b1, k2))
+        in_specs.append(pl.BlockSpec((1, block_k2), lambda i: (0, i)))
+    if b2 is not None:
+        operands.append(vec(b2, n))
+        in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0)))
+    if residual is not None:
+        operands.append(residual)
+        in_specs.append(pl.BlockSpec((b, n), lambda i: (0, 0)))
+    if gate is not None:
+        operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0)))
+
+    kernel = functools.partial(
+        _mlp_kernel,
+        eps=eps, act=act, norm=norm,
+        has_ln=ln_scale is not None,
+        has_ln_bias=ln_bias is not None,
+        has_w1b=w1_gate is not None,
+        has_b1=b1 is not None,
+        has_b2=b2 is not None,
+        has_residual=residual is not None,
+        has_gate=gate is not None,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        kernel,
+        grid=(k2 // block_k2,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, n), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(*operands)
+
+
+def reference_dense(
+    x, w, *, bias=None, ln_scale=None, ln_bias=None, eps=1e-5, norm="layer",
+    act=None, clip=None, residual=None, gate=None,
+):
+    """Plain-jnp semantics mirror of fused_dense (parity tests)."""
+    h = x.astype(jnp.float32)
+    if ln_scale is not None:
+        if norm == "rms":
+            var = jnp.square(h).mean(-1, keepdims=True)
+            h = h * jax.lax.rsqrt(var + eps) * ln_scale
+        else:
+            mu = h.mean(-1, keepdims=True)
+            var = jnp.maximum(
+                0.0, jnp.square(h).mean(-1, keepdims=True) - jnp.square(mu)
+            )
+            h = (h - mu) * jax.lax.rsqrt(var + eps) * ln_scale
+        if ln_bias is not None:
+            h = h + ln_bias
+    y = jax.lax.dot_general(
+        h.astype(x.dtype), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if clip is not None:
+        y = jnp.clip(y, -clip, clip)
+    y = _act_f32(y, act)
+    if gate is not None:
+        y = y * jnp.tanh(jnp.asarray(gate).astype(jnp.float32)).reshape(())
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def reference_mlp(
+    x, w1, w2, *, w1_gate=None, b1=None, b2=None, ln_scale=None,
+    ln_bias=None, eps=1e-5, norm="layer", act="gelu", residual=None,
+    gate=None,
+):
+    u = reference_dense(
+        x, w1, bias=b1, ln_scale=ln_scale, ln_bias=ln_bias, eps=eps,
+        norm=norm, act=act,
+    )
+    if w1_gate is not None:
+        u = u * reference_dense(
+            x, w1_gate, ln_scale=ln_scale, ln_bias=ln_bias, eps=eps,
+            norm=norm,
+        )
+    return reference_dense(u, w2, bias=b2, residual=residual, gate=gate)

@@ -6,6 +6,7 @@ import json
 import tarfile
 
 import numpy as np
+import pytest
 
 from open_flamingo_tpu.image_processing import ImageProcessor
 from open_flamingo_tpu.tokenization import SimpleTokenizer
@@ -13,6 +14,8 @@ from open_flamingo_tpu.train.cli import main
 
 from test_data import _jpeg_bytes, _mmc4_doc, _write_laion_shard
 from test_flamingo import tiny_flamingo
+
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
 
 
 def _write_mmc4_shard(path, rng, n=12):

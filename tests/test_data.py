@@ -194,14 +194,32 @@ def test_process_loader_matches_thread_backend(tmp_path, rng):
         np.testing.assert_allclose(x["vision_x"], y["vision_x"], rtol=0, atol=0)
 
 
+def _write_laion_shard_png(path, rng, n=8):
+    """PNG shard: the device-preprocess path's libjpeg draft decode is a
+    no-op for PNG, so pixels match the host path bit-for-bit."""
+    from PIL import Image
+
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            arr = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            img = buf.getvalue()
+            for ext, data in [("png", img), ("txt", f"caption {i}".encode())]:
+                ti = tarfile.TarInfo(f"{i:06d}.{ext}")
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+
+
 def test_device_preprocess_matches_host_path(tmp_path, rng):
     """uint8 batches + on-device normalization == the float32 host path
-    (same pixels; normalize is the same arithmetic in fp32)."""
+    (same pixels; normalize is the same arithmetic in fp32). PNG input:
+    the jpeg draft-decode approximation doesn't apply."""
     import jax.numpy as jnp
 
     from open_flamingo_tpu.image_processing import normalize_images_on_device
 
-    _write_laion_shard(tmp_path / "u-0000.tar", rng, n=8)
+    _write_laion_shard_png(tmp_path / "u-0000.tar", rng, n=8)
     tok = SimpleTokenizer()
     proc = ImageProcessor(image_size=14)
     mk = lambda dev: DataConfig(

@@ -15,6 +15,8 @@ from open_flamingo_tpu.convert.hf_lm import (
 )
 from open_flamingo_tpu.models.lm import FlamingoLM
 
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 B, T, VOCAB = 2, 12, 96

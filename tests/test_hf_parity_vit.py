@@ -14,6 +14,8 @@ from open_flamingo_tpu.convert.hf_clip import (
 )
 from open_flamingo_tpu.models.vit import VisionTransformer
 
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from open_flamingo_tpu.models.flamingo import Flamingo
 from open_flamingo_tpu.train.optimizer import (
@@ -20,6 +21,8 @@ from open_flamingo_tpu.train.train_loop import (
 )
 
 from test_flamingo import EOC, MEDIA, PAD, VOCAB, make_batch, tiny_flamingo
+
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
 
 
 def test_scan_training_partition_and_step(rng):

@@ -3,11 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from open_flamingo_tpu.parallel import MeshConfig, make_mesh
 from open_flamingo_tpu.serialization import load_pretrained, save_pretrained
 
 from test_flamingo import make_batch, tiny_flamingo
+
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
 
 
 def test_save_load_roundtrip(tmp_path, rng):

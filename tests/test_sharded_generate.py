@@ -6,12 +6,15 @@ exercised on the virtual CPU mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
 from open_flamingo_tpu.parallel import MeshConfig, make_mesh, shard_params
 
 from test_flamingo import EOC, MEDIA, PAD, VOCAB, make_batch, tiny_flamingo
+
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
 
 
 def test_sharded_generate_matches_single_device(rng):

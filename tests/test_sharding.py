@@ -4,6 +4,7 @@ rules, sharded train step, sharded generation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from open_flamingo_tpu.parallel import (
@@ -25,6 +26,8 @@ from open_flamingo_tpu.train.train_loop import (
 )
 
 from test_flamingo import EOC, MEDIA, PAD, VOCAB, tiny_flamingo
+
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
 
 B = 8
 
