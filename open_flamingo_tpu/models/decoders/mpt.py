@@ -57,30 +57,23 @@ class MPTBlock(nn.Module):
         slopes = alibi_slopes(cfg.num_heads, cfg.alibi_bias_max)
 
         if use_fused_decode(t, attn.cached) and layer_kv is not None:
-            # decode: 3 launches — LN1+QKV+clip, write+attend+out-proj+
-            # residual (head-grid, Wout streamed per head), fused MLP
-            from ...ops.decode_layer import attend_out_decode
-            from ...ops.dense_stream import fused_dense, fused_mlp
+            # decode: 2 launches — the whole attention half (LN1 + QKV
+            # column-blocks + clip + cache write + ALiBi attend + out-
+            # proj + residual) on a head-group grid, then the fused MLP
+            from ...ops.decode_layer import attn_block_decode
+            from ...ops.dense_stream import fused_mlp
 
             hd = cfg.head_dim
-            nh = cfg.num_heads
-            x2 = x[:, 0]
-            qkv = fused_dense(
-                x2, wqkv.kernel.astype(self.dtype),
-                ln_scale=norm_1.scale,
-                ln_bias=norm_1.bias if not cfg.ln_no_bias else None,
-                eps=cfg.layer_norm_eps,
-                clip=cfg.clip_qkv,
-            )
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            x2, kc, vc = attend_out_decode(
-                q.reshape(b, nh, hd),
-                layer_kv.k, layer_kv.v,
-                attn.pad_mask,
-                out_proj.kernel.astype(self.dtype).reshape(nh, hd, d),
-                scale=hd**-0.5,
-                k_new=k.reshape(b, nh, hd), v_new=v.reshape(b, nh, hd),
-                slot=attn.kv_slot, slopes=slopes, residual=x2,
+            x2, kc, vc = attn_block_decode(
+                x[:, 0],
+                norm_1.scale,
+                norm_1.bias if not cfg.ln_no_bias else None,
+                wqkv.kernel.astype(self.dtype),
+                out_proj.kernel.astype(self.dtype),
+                layer_kv.k, layer_kv.v, attn.pad_mask,
+                heads=cfg.num_heads, head_dim=hd, scale=hd**-0.5,
+                fused_qkv=True, slot=attn.kv_slot, slopes=slopes,
+                clip=cfg.clip_qkv, eps=cfg.layer_norm_eps,
             )
             y = fused_mlp(
                 x2,

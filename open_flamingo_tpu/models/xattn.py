@@ -217,7 +217,7 @@ class MaskedCrossAttention(nn.Module):
         output projection, the tanh gate, and the residual merge into one
         head-grid launch. Rows whose text has no preceding image
         (all-masked) contribute exact zeros — the immediate-mode rule."""
-        from ..ops.decode_layer import attend_out_decode
+        from ..ops.decode_layer import attend_out_decode, attn_block_decode
         from ..ops.dense_stream import fused_dense
 
         k, v = media_kv
@@ -226,11 +226,23 @@ class MaskedCrossAttention(nn.Module):
             jax.lax.broadcasted_iota(jnp.int32, (t_img, n_lat), 0)
             .reshape(-1) + 1
         )
+        mask2d = text_time[:, :1] == media_time[None, :]   # (B, S_m)
+        if out_gate is not None and out_residual is not None:
+            # gated path: one launch for the whole attention half
+            y = attn_block_decode(
+                x[:, 0], norm.scale, norm.bias,
+                to_q.kernel.astype(self.dtype),
+                to_out_mod.kernel.astype(self.dtype),
+                k, v, mask2d,
+                heads=self.heads, head_dim=self.dim_head,
+                scale=self.dim_head**-0.5, gate=out_gate, eps=LN_EPS,
+            )
+            return y[:, None]
+
         q = fused_dense(
             x[:, 0], to_q.kernel.astype(self.dtype),
             ln_scale=norm.scale, ln_bias=norm.bias, eps=LN_EPS,
         )
-        mask2d = text_time[:, :1] == media_time[None, :]   # (B, S_m)
         out = attend_out_decode(
             q.reshape(b, self.heads, self.dim_head), k, v, mask2d,
             to_out_mod.kernel.astype(self.dtype).reshape(

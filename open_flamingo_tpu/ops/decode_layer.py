@@ -240,6 +240,248 @@ def attend_out_decode(
     return res[0]
 
 
+def _attn_block_kernel(
+    slot_ref,       # (1,) int32 scalar prefetch
+    x_ref,          # (B, D)
+    wq_ref,         # (D, G*Dh) — this group's q columns
+    *rest,
+    group, head_dim, kv_len, block_s, eps, clip, scale, use_alibi,
+    proj_kv, has_ln_bias, has_gate,
+):
+    i = 0
+    wk_ref = wv_ref = None
+    if proj_kv:
+        wk_ref, wv_ref = rest[i], rest[i + 1]
+        i += 2
+    k_ref, v_ref = rest[i], rest[i + 1]      # (B, G, S, Dh)
+    mask_ref = rest[i + 2]                   # (B, S)
+    slope_ref = rest[i + 3]                  # (G, 1, 1) this group's slopes
+    wout_ref = rest[i + 4]                   # (G*Dh, D)
+    ln_s_ref = rest[i + 5]
+    i += 6
+    ln_b_ref = rest[i] if has_ln_bias else None
+    i += has_ln_bias
+    gate_ref = rest[i] if has_gate else None
+    i += has_gate
+    y_ref = rest[i]
+    i += 1
+    if proj_kv:
+        ko_ref, vo_ref = rest[i], rest[i + 1]   # (B, G, BS, Dh)
+        i += 2
+    acc_ref = rest[i]
+
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        0.0, jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    )
+    h = (xf - mu) * jax.lax.rsqrt(var + eps)
+    h = h * ln_s_ref[0].astype(jnp.float32)
+    if has_ln_bias:
+        h = h + ln_b_ref[0].astype(jnp.float32)
+    hd = h.astype(x.dtype)
+
+    def proj(w_ref):
+        y = jax.lax.dot_general(
+            hd, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if clip is not None:
+            y = jnp.clip(y, -clip, clip)
+        return y                                  # (B, G*Dh) f32
+
+    qg = proj(wq_ref)
+    if proj_kv:
+        kg = proj(wk_ref)
+        vg = proj(wv_ref)
+
+    slot = slot_ref[0]
+    dh = head_dim
+    for hh in range(group):
+        sl = slice(hh * dh, (hh + 1) * dh)
+        q_i = qg[:, sl] * scale                   # (B, Dh) f32
+        k_i = k_ref[:, hh]                        # (B, S, Dh)
+        v_i = v_ref[:, hh]
+        if proj_kv:
+            kn = kg[:, sl].astype(k_i.dtype)[:, None, :]
+            vn = vg[:, sl].astype(v_i.dtype)[:, None, :]
+            blk = slot // block_s
+            off = slot - blk * block_s
+            in_blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, block_s, 1), 1)
+                == off
+            )
+            k_blk = k_ref[:, hh, pl.ds(blk * block_s, block_s), :]
+            v_blk = v_ref[:, hh, pl.ds(blk * block_s, block_s), :]
+            ko_ref[:, hh] = jnp.where(in_blk, kn, k_blk)
+            vo_ref[:, hh] = jnp.where(in_blk, vn, v_blk)
+            at_slot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, kv_len, 1), 1)
+                == slot
+            )
+            k_i = jnp.where(at_slot, kn, k_i)
+            v_i = jnp.where(at_slot, vn, v_i)
+
+        s = jnp.sum(q_i[:, None, :] * k_i.astype(jnp.float32), axis=-1)
+        if use_alibi:
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = s + slope_ref[hh] * (
+                k_pos - (kv_len - 1)
+            ).astype(jnp.float32)
+        valid = mask_ref[...] > 0
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.where(valid, jnp.exp(s - m), 0.0)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        denom = jnp.where(denom == 0.0, 1.0, denom)   # all-masked -> 0
+        a = jnp.sum((p / denom)[..., None] * v_i.astype(jnp.float32), axis=1)
+        acc_ref[...] += jax.lax.dot_general(
+            a.astype(x.dtype), wout_ref[sl, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _fin():
+        y = acc_ref[...]
+        if has_gate:
+            y = y * jnp.tanh(gate_ref[...].astype(jnp.float32))
+        y_ref[...] = (y + xf).astype(y_ref.dtype)
+
+
+def attn_block_decode(
+    x: jax.Array,            # (B, D)
+    ln_scale: jax.Array,
+    ln_bias: Optional[jax.Array],
+    wq: jax.Array,           # (D, H*Dh), or the fused (D, 3*H*Dh) Wqkv
+    wout: jax.Array,         # (H*Dh, D)
+    k_cache: jax.Array,      # (B, H, S, Dh)
+    v_cache: jax.Array,
+    mask: jax.Array,         # (B, S)
+    *,
+    heads: int,
+    head_dim: int,
+    scale: float,
+    fused_qkv: bool = False,  # wq is Wqkv [q|k|v]: project + write cache
+    slot=None,                # required with fused_qkv
+    slopes=None,
+    clip: Optional[float] = None,
+    gate: Optional[jax.Array] = None,
+    eps: float = 1e-5,
+    head_block: int = 8,
+    block_s: int = 16,
+    interpret: Optional[bool] = None,
+):
+    """Whole attention half of a decode layer in ONE launch, grid over
+    head groups: LN + q[/k/v] projection (weight column blocks — the
+    fused Wqkv is indexed in place, never transposed) + cache write +
+    masked attend (+ALiBi) + out-projection accumulate (+tanh gate) +
+    residual. Returns y or (y, k_cache', v_cache') with fused_qkv."""
+    from .dense_stream import INTERPRET
+
+    interpret = INTERPRET if interpret is None else interpret
+    b, d = x.shape
+    h, dh = heads, head_dim
+    s_max = k_cache.shape[2]
+    g = head_block
+    while h % g:
+        g //= 2
+    n_groups = h // g
+    gdh = g * dh
+    block_s = min(block_s, s_max)
+    assert s_max % block_s == 0, (s_max, block_s)
+    inner = h * dh
+
+    if slopes is None:
+        slopes3 = jnp.zeros((h, 1, 1), jnp.float32)
+    else:
+        slopes3 = jnp.asarray(slopes, jnp.float32).reshape(h, 1, 1)
+    slot1 = jnp.asarray(0 if slot is None else slot, jnp.int32).reshape(1)
+
+    operands = [x, wq]
+    in_specs = [
+        pl.BlockSpec((b, d), lambda gg, slot: (0, 0)),
+        pl.BlockSpec((d, gdh), lambda gg, slot: (0, gg)),
+    ]
+    if fused_qkv:
+        # same Wqkv array, shifted column-block index maps for k and v
+        operands += [wq, wq]
+        in_specs += [
+            pl.BlockSpec((d, gdh), lambda gg, slot: (0, n_groups + gg)),
+            pl.BlockSpec((d, gdh), lambda gg, slot: (0, 2 * n_groups + gg)),
+        ]
+    operands += [k_cache, v_cache, mask.astype(jnp.int32), slopes3, wout,
+                 jnp.asarray(ln_scale).reshape(1, d)]
+    in_specs += [
+        pl.BlockSpec((b, g, s_max, dh), lambda gg, slot: (0, gg, 0, 0)),
+        pl.BlockSpec((b, g, s_max, dh), lambda gg, slot: (0, gg, 0, 0)),
+        pl.BlockSpec((b, s_max), lambda gg, slot: (0, 0)),
+        pl.BlockSpec((g, 1, 1), lambda gg, slot: (gg, 0, 0)),
+        pl.BlockSpec((gdh, d), lambda gg, slot: (gg, 0)),
+        pl.BlockSpec((1, d), lambda gg, slot: (0, 0)),
+    ]
+    has_ln_bias = ln_bias is not None
+    if has_ln_bias:
+        operands.append(jnp.asarray(ln_bias).reshape(1, d))
+        in_specs.append(pl.BlockSpec((1, d), lambda gg, slot: (0, 0)))
+    if gate is not None:
+        operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
+        in_specs.append(pl.BlockSpec((1, 1), lambda gg, slot: (0, 0)))
+
+    out_specs = [pl.BlockSpec((b, d), lambda gg, slot: (0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, d), x.dtype)]
+    aliases = {}
+    if fused_qkv:
+        out_specs += [
+            pl.BlockSpec(
+                (b, g, block_s, dh),
+                lambda gg, slot: (0, gg, slot[0] // block_s, 0),
+            ),
+            pl.BlockSpec(
+                (b, g, block_s, dh),
+                lambda gg, slot: (0, gg, slot[0] // block_s, 0),
+            ),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ]
+        # positional: (slot=0, x=1, wq=2, wk=3, wv=4, k=5, v=6, ...)
+        aliases = {5: 1, 6: 2}
+
+    kernel = functools.partial(
+        _attn_block_kernel,
+        group=g, head_dim=dh, kv_len=s_max, block_s=block_s, eps=eps,
+        clip=clip, scale=scale, use_alibi=slopes is not None,
+        proj_kv=fused_qkv, has_ln_bias=has_ln_bias,
+        has_gate=gate is not None,
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_groups,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((b, d), jnp.float32)],
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(slot1, *operands)
+    if fused_qkv:
+        return res[0], res[1], res[2]
+    return res[0]
+
+
 def reference_attend_out(
     q, k, v, mask, wout, *, scale, k_new=None, v_new=None, slot=None,
     slopes=None, gate=None, residual=None,

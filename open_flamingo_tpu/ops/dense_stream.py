@@ -314,7 +314,7 @@ def fused_mlp(
     act: str = "gelu",
     residual: Optional[jax.Array] = None,      # (B, N)
     gate: Optional[jax.Array] = None,
-    block_k2: int = 1024,
+    block_k2: int = 2048,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """residual + tanh(gate) * (act(LN?(x) @ W1 + b1) @ W2 + b2).

@@ -303,6 +303,65 @@ def test_attend_out_decode_parity(rng):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5)
 
 
+def test_attn_block_decode_parity(rng):
+    """Single-launch attention half (QKV in-kernel) vs composing the
+    reference pieces: LN -> clip(qkv) -> write+attend+out."""
+    from open_flamingo_tpu.ops.decode_layer import (
+        attn_block_decode,
+        reference_attend_out,
+    )
+    from open_flamingo_tpu.ops.dense_stream import reference_dense
+
+    Bq, H, DH, S = 3, 4, 64, 32
+    D = H * DH
+    t = lambda *s, scale=0.5: jnp.asarray(rng.normal(size=s) * scale,
+                                          jnp.float32)
+    x = t(Bq, D)
+    ln_s, ln_b = t(D, scale=1.0), t(D, scale=0.1)
+    wqkv = t(D, 3 * D, scale=0.05)
+    wout = t(D, D, scale=0.05)
+    kc, vc = t(Bq, H, S, DH), t(Bq, H, S, DH)
+    mask = jnp.ones((Bq, S), jnp.int32)
+    slopes = np.asarray([0.5 ** (i + 1) for i in range(H)], np.float32)
+    slot = 5
+
+    got_y, got_k, got_v = attn_block_decode(
+        x, ln_s, ln_b, wqkv, wout, kc, vc, mask,
+        heads=H, head_dim=DH, scale=0.3, fused_qkv=True, slot=slot,
+        slopes=slopes, clip=4.0, head_block=2, block_s=8, interpret=True,
+    )
+    qkv = reference_dense(x, wqkv, ln_scale=ln_s, ln_bias=ln_b, clip=4.0)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    want_y, want_k, want_v = reference_attend_out(
+        q.reshape(Bq, H, DH), kc, vc, mask,
+        wout.reshape(H, DH, D), scale=0.3,
+        k_new=k.reshape(Bq, H, DH), v_new=v.reshape(Bq, H, DH), slot=slot,
+        slopes=slopes, residual=x,
+    )
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               atol=2e-5)
+
+    # static media variant: gate, all-masked row
+    mask2 = jnp.asarray(rng.integers(0, 2, size=(Bq, S)), jnp.int32)
+    mask2 = mask2.at[1].set(0)
+    wq = t(D, D, scale=0.05)
+    got = attn_block_decode(
+        x, ln_s, ln_b, wq, wout, kc, vc, mask2,
+        heads=H, head_dim=DH, scale=0.3, gate=jnp.asarray([0.6]),
+        head_block=4, interpret=True,
+    )
+    q2 = reference_dense(x, wq, ln_scale=ln_s, ln_bias=ln_b)
+    want = reference_attend_out(
+        q2.reshape(Bq, H, DH), kc, vc, mask2, wout.reshape(H, DH, D),
+        scale=0.3, gate=jnp.asarray([0.6]), residual=x,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
 def test_fused_dense_ragged_vocab(data):
     """N not a multiple of the block (un-aligned vocab, e.g. 50434):
     last-block out-of-bounds columns must be masked, both layouts."""
