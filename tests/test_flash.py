@@ -48,6 +48,25 @@ def test_flash_matches_reference(rng, tq, s, bq, bk):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_flash_noncausal_padded_vit(rng):
+    """Bidirectional flash (the ViT path): square S with trailing pad
+    keys masked; real-query outputs must match the einsum reference."""
+    s, s_real = 32, 27
+    pad = np.zeros((BH, s), np.int32)
+    pad[:, :s_real] = 1
+    q, k, v, padj = _inputs(rng, s, s, pad)
+    slopes = jnp.zeros((BH, 1), jnp.float32)
+    want = reference_attention(
+        q, k, v, padj, slopes, 0, causal=False, scale=0.25
+    )
+    got = flash_attention(
+        q, k, v, padj, slopes, jnp.int32(0), False, 0.25, 8, 8, True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :s_real], np.asarray(want)[:, :s_real], atol=2e-5
+    )
+
+
 def test_flash_cache_offset(rng):
     """Queries written at slot q_offset see keys [0, offset+i]."""
     s, tq, off = 32, 8, 10
