@@ -253,7 +253,9 @@ def flamingo_generate(
     (B, max_new_tokens) (prompt not included)."""
     b, t = lang_x.shape
     k = cfg.num_beams
-    cache_len = t + cfg.max_new_tokens
+    # round the cache up to the fused decode kernels' S-block quantum
+    # (extra slots stay masked in pad_mask — semantics unchanged)
+    cache_len = -(-(t + cfg.max_new_tokens) // 16) * 16
 
     latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
     n_media = count_media(lang_x, model.cfg.media_token_id)

@@ -41,6 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
+def _pick_block_s(s_max: int, block_s: int) -> int:
+    """Slot-flush block size: a sublane-aligned divisor of S, else the
+    whole cache (always legal — full-dim blocks bypass tiling rules)."""
+    for bs in (block_s, 16, 8):
+        if bs <= s_max and s_max % bs == 0:
+            return bs
+    return s_max
+
+
 def _attend_out_kernel(
     slot_ref,       # (1,) int32 scalar prefetch (0 when update=False)
     q_ref,          # (B, 1, 1, Dh) — this head's queries (pre-scaled)
@@ -157,8 +166,7 @@ def attend_out_decode(
     s_max = k_cache.shape[2]
     d = wout.shape[-1]
     update = k_new is not None
-    block_s = min(block_s, s_max)
-    assert s_max % block_s == 0, (s_max, block_s)
+    block_s = _pick_block_s(s_max, block_s)
 
     if slopes is None:
         slopes2 = jnp.zeros((h, 1, 1), jnp.float32)
@@ -395,8 +403,7 @@ def attn_block_decode(
         g //= 2
     n_groups = h // g
     gdh = g * dh
-    block_s = min(block_s, s_max)
-    assert s_max % block_s == 0, (s_max, block_s)
+    block_s = _pick_block_s(s_max, block_s)
     inner = h * dh
 
     if slopes is None:

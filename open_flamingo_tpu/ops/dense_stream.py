@@ -40,14 +40,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 # Test hooks: FORCE_FUSED routes the blocks' decode path through the
-# fused kernels regardless of backend; INTERPRET runs them in pallas
-# interpret mode (CPU).
+# fused kernels regardless of backend; DISABLE_FUSED forces the plain
+# XLA path even on TPU (A/B debugging); INTERPRET runs the kernels in
+# pallas interpret mode (CPU).
 FORCE_FUSED = False
+DISABLE_FUSED = False
 INTERPRET = False
 
 
 def use_fused_decode(tq: int, cached: bool) -> bool:
     """Single-token decode against a cache on TPU -> fused kernels."""
+    if DISABLE_FUSED:
+        return False
     if FORCE_FUSED:
         return tq == 1 and cached
     return tq == 1 and cached and jax.default_backend() == "tpu"
