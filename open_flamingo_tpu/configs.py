@@ -14,6 +14,15 @@ VIT_L_14 = VisionConfig(
     projection_dim=768,
 )
 
+# Tiny smoke-run tower (not a real CLIP): same 224px input so the data
+# pipeline is unchanged, but 2 layers / d=128 — train-CLI smoke runs
+# skip the ~10min ViT-L compile (use --vision_encoder_path ViT-Tiny).
+VIT_TINY = VisionConfig(
+    image_size=224, patch_size=32, hidden_size=128, num_layers=2,
+    num_heads=2, intermediate_size=256, hidden_act="quick_gelu",
+    projection_dim=64,
+)
+
 # OpenAI CLIP ViT-B/32 — the default RICES retrieval encoder
 # (open_flamingo/eval/rices.py:14); encode_image output width 512.
 VIT_B_32 = VisionConfig(

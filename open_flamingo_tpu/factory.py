@@ -28,6 +28,8 @@ from .tokenization import SimpleTokenizer, prepare_hf_tokenizer
 _VISION_REGISTRY = {
     "ViT-L-14": _configs.VIT_L_14,
     "ViT-B-32": _configs.VIT_B_32,
+    # smoke-run tower: skips the ViT-L compile in train-CLI smoke tests
+    "ViT-Tiny": _configs.VIT_TINY,
 }
 
 _LM_REGISTRY = {

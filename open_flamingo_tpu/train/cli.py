@@ -21,7 +21,9 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("open_flamingo_tpu train")
     # model (train.py:53-77)
-    p.add_argument("--vision_encoder_path", default="ViT-L-14")
+    p.add_argument("--vision_encoder_path", default="ViT-L-14",
+                   help="ViT-L-14 / ViT-B-32 / ViT-Tiny (smoke runs: "
+                        "skips the ViT-L compile)")
     p.add_argument("--vision_encoder_pretrained", default="openai")
     p.add_argument("--lm_path", default="mosaicml/mpt-1b-redpajama-200b")
     p.add_argument("--tokenizer_path", default=None)

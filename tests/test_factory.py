@@ -37,6 +37,18 @@ def test_factory_no_weights():
     assert out.shape == (14, 14, 3)
 
 
+def test_factory_vit_tiny_smoke_tower():
+    """The registered ViT-Tiny smoke tower builds with standard 224px
+    preprocessing (train-CLI smoke runs skip the ViT-L compile)."""
+    model, params, image_processor, _ = create_model_and_transforms(
+        "ViT-Tiny", "openai", TINY_LM
+    )
+    assert model.cfg.vision.num_layers == 2
+    assert model.cfg.vision.image_size == 224
+    out = image_processor(np.zeros((240, 260, 3), np.uint8))
+    assert out.shape == (224, 224, 3)
+
+
 def test_factory_gradient_checkpointing_and_scan_reach_config():
     """--gradient_checkpointing / --scan_layers must actually reach the
     model config (round-1 VERDICT: the CLI flag was a silent no-op)."""
