@@ -65,11 +65,10 @@ class GPTJBlock(nn.Module):
         from ...ops.dense_stream import use_fused_decode
 
         if use_fused_decode(t, attn.cached) and layer_kv is not None:
-            # decode: shared-LN q/k/v, write+attend, out-proj and the
+            # decode: shared-LN q/k/v, write+attend+out-proj, and the
             # biased MLP (parallel residual) as weight-streaming kernels
-            from ...ops import dense_stream
+            from ...ops.decode_layer import attend_out_decode
             from ...ops.dense_stream import fused_dense, fused_mlp
-            from ...ops.decode_attention import decode_attention_update
 
             x2 = x[:, 0]
             ln_kw = dict(
@@ -86,14 +85,14 @@ class GPTJBlock(nn.Module):
                 q[:, None], k[:, None], attn.position_ids, rotary_dim,
                 cfg.rope_theta,
             )
-            out, kc, vc = decode_attention_update(
-                q[:, 0], layer_kv.k, layer_kv.v, k[:, 0], v,
-                attn.pad_mask, attn.kv_slot,
-                scale=cfg.head_dim**-0.5,
-                interpret=dense_stream.INTERPRET,
-            )
-            attn_out = fused_dense(
-                out.reshape(b, d), out_proj.kernel.astype(self.dtype)
+            hd = cfg.head_dim
+            attn_out, kc, vc = attend_out_decode(
+                q[:, 0], layer_kv.k, layer_kv.v, attn.pad_mask,
+                out_proj.kernel.astype(self.dtype).reshape(
+                    cfg.num_heads, hd, d
+                ),
+                scale=hd**-0.5,
+                k_new=k[:, 0], v_new=v, slot=attn.kv_slot,
             )
             y = fused_mlp(
                 x2,

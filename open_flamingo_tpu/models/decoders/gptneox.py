@@ -62,11 +62,10 @@ class GPTNeoXBlock(nn.Module):
         rotary_ndims = int(cfg.head_dim * cfg.rotary_pct)
 
         if use_fused_decode(t, attn.cached) and layer_kv is not None:
-            # decode: LN+QKV / write+attend / out-proj / LN+MLP(+residual)
-            # as weight-streaming kernels; RoPE stays an XLA op (tiny)
-            from ...ops import dense_stream
+            # decode: LN+QKV / write+attend+out-proj(+bias) / LN+MLP as
+            # weight-streaming kernels; RoPE stays an XLA op (tiny)
+            from ...ops.decode_layer import attend_out_decode
             from ...ops.dense_stream import fused_dense, fused_mlp
-            from ...ops.decode_attention import decode_attention_update
 
             x2 = x[:, 0]
             qkv = fused_dense(
@@ -81,14 +80,14 @@ class GPTNeoXBlock(nn.Module):
                 attn.position_ids, rotary_ndims, cfg.rope_theta
             )
             q, k = apply_rope(q[:, None], k[:, None], cos, sin)
-            out, kc, vc = decode_attention_update(
-                q[:, 0], layer_kv.k, layer_kv.v, k[:, 0], v,
-                attn.pad_mask, attn.kv_slot,
-                scale=cfg.head_dim**-0.5,
-                interpret=dense_stream.INTERPRET,
-            )
-            attn_out = fused_dense(
-                out.reshape(b, d), out_proj.kernel.astype(self.dtype),
+            hd = cfg.head_dim
+            attn_out, kc, vc = attend_out_decode(
+                q[:, 0], layer_kv.k, layer_kv.v, attn.pad_mask,
+                out_proj.kernel.astype(self.dtype).reshape(
+                    cfg.num_heads, hd, d
+                ),
+                scale=hd**-0.5,
+                k_new=k[:, 0], v_new=v, slot=attn.kv_slot,
                 bias=out_proj.bias if cfg.attention_bias else None,
             )
             mlp_in = x2 if cfg.use_parallel_residual else x2 + attn_out

@@ -86,12 +86,11 @@ class LlamaBlock(nn.Module):
         from ...ops.dense_stream import use_fused_decode
 
         if use_fused_decode(t, attn.cached) and layer_kv is not None and n_rep == 1:
-            # decode (MHA): RMS+q/k/v, write+attend, out+residual, and a
+            # decode (MHA): RMS+q/k/v, write+attend+out+residual, and a
             # SwiGLU MLP (gate & up stream through one pipeline) as
             # weight-streaming kernels. GQA (n_rep>1) falls through.
-            from ...ops import dense_stream
+            from ...ops.decode_layer import attend_out_decode
             from ...ops.dense_stream import fused_dense, fused_mlp
-            from ...ops.decode_attention import decode_attention_update
 
             x2 = x[:, 0]
             ln_kw = dict(
@@ -107,15 +106,15 @@ class LlamaBlock(nn.Module):
                 attn.position_ids, cfg.head_dim, cfg.rope_theta
             )
             q, k = apply_rope(q[:, None], k[:, None], cos, sin)
-            out, kc, vc = decode_attention_update(
-                q[:, 0], layer_kv.k, layer_kv.v, k[:, 0], v,
-                attn.pad_mask, attn.kv_slot,
-                scale=cfg.head_dim**-0.5,
-                interpret=dense_stream.INTERPRET,
-            )
-            x2 = fused_dense(
-                out.reshape(b, cfg.num_heads * cfg.head_dim),
-                o_proj.kernel.astype(self.dtype), residual=x2,
+            hd = cfg.head_dim
+            x2, kc, vc = attend_out_decode(
+                q[:, 0], layer_kv.k, layer_kv.v, attn.pad_mask,
+                o_proj.kernel.astype(self.dtype).reshape(
+                    cfg.num_heads, hd, d
+                ),
+                scale=hd**-0.5,
+                k_new=k[:, 0], v_new=v, slot=attn.kv_slot,
+                residual=x2,
             )
             y = fused_mlp(
                 x2,

@@ -53,9 +53,8 @@ class OPTBlock(nn.Module):
         from ...ops.dense_stream import use_fused_decode
 
         if use_fused_decode(t, attn.cached) and layer_kv is not None:
-            from ...ops import dense_stream
+            from ...ops.decode_layer import attend_out_decode
             from ...ops.dense_stream import fused_dense, fused_mlp
-            from ...ops.decode_attention import decode_attention_update
 
             x2 = x[:, 0]
             ln_kw = dict(
@@ -68,17 +67,17 @@ class OPTBlock(nn.Module):
                             bias=k_proj.bias, **ln_kw)
             v = fused_dense(x2, v_proj.kernel.astype(self.dtype),
                             bias=v_proj.bias, **ln_kw)
-            out, kc, vc = decode_attention_update(
-                q.reshape(b, cfg.num_heads, cfg.head_dim),
-                layer_kv.k, layer_kv.v,
-                k.reshape(b, cfg.num_heads, cfg.head_dim),
-                v.reshape(b, cfg.num_heads, cfg.head_dim),
-                attn.pad_mask, attn.kv_slot,
-                scale=cfg.head_dim**-0.5,
-                interpret=dense_stream.INTERPRET,
-            )
-            x2 = fused_dense(
-                out.reshape(b, d), out_proj.kernel.astype(self.dtype),
+            hd = cfg.head_dim
+            x2, kc, vc = attend_out_decode(
+                q.reshape(b, cfg.num_heads, hd),
+                layer_kv.k, layer_kv.v, attn.pad_mask,
+                out_proj.kernel.astype(self.dtype).reshape(
+                    cfg.num_heads, hd, d
+                ),
+                scale=hd**-0.5,
+                k_new=k.reshape(b, cfg.num_heads, hd),
+                v_new=v.reshape(b, cfg.num_heads, hd),
+                slot=attn.kv_slot,
                 bias=out_proj.bias, residual=x2,
             )
             y = fused_mlp(

@@ -59,13 +59,15 @@ def _attend_out_kernel(
     slope_ref,      # (1, 1, 1) f32 — this head's ALiBi slope block
     wout_ref,       # (1, Dh, D) this head's slice of the out projection
     *rest,
-    kv_len, block_s, use_alibi, update, has_gate, has_residual,
+    kv_len, block_s, use_alibi, update, has_bias, has_gate, has_residual,
 ):
     i = 0
     kn_ref = vn_ref = None
     if update:
         kn_ref, vn_ref = rest[i], rest[i + 1]
         i += 2
+    bias_ref = rest[i] if has_bias else None
+    i += has_bias
     gate_ref = rest[i] if has_gate else None
     i += has_gate
     res_ref = rest[i] if has_residual else None
@@ -133,6 +135,8 @@ def _attend_out_kernel(
     @pl.when(h == pl.num_programs(0) - 1)
     def _fin():
         y = acc_ref[...]
+        if has_bias:
+            y = y + bias_ref[0].astype(jnp.float32)
         if has_gate:
             y = y * jnp.tanh(gate_ref[...].astype(jnp.float32))
         if has_residual:
@@ -152,6 +156,7 @@ def attend_out_decode(
     v_new: Optional[jax.Array] = None,
     slot=None,               # scalar int32 (required with k_new)
     slopes=None,             # static (H,) ALiBi slopes or None
+    bias: Optional[jax.Array] = None,     # (D,) out-projection bias
     gate: Optional[jax.Array] = None,     # scalar: y *= tanh(gate)
     residual: Optional[jax.Array] = None,  # (B, D)
     block_s: int = 16,
@@ -195,6 +200,9 @@ def attend_out_decode(
             pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
             pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
         ]
+    if bias is not None:
+        operands.append(jnp.asarray(bias).reshape(1, d))
+        in_specs.append(pl.BlockSpec((1, d), lambda hh, slot: (0, 0)))
     if gate is not None:
         operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
         in_specs.append(pl.BlockSpec((1, 1), lambda hh, slot: (0, 0)))
@@ -227,6 +235,7 @@ def attend_out_decode(
         _attend_out_kernel,
         kv_len=s_max, block_s=block_s,
         use_alibi=slopes is not None, update=update,
+        has_bias=bias is not None,
         has_gate=gate is not None, has_residual=residual is not None,
     )
     res = pl.pallas_call(
@@ -491,7 +500,7 @@ def attn_block_decode(
 
 def reference_attend_out(
     q, k, v, mask, wout, *, scale, k_new=None, v_new=None, slot=None,
-    slopes=None, gate=None, residual=None,
+    slopes=None, bias=None, gate=None, residual=None,
 ):
     """jnp semantics mirror (parity tests). wout: (H, Dh, D)."""
     b, h, dh = q.shape
@@ -514,6 +523,8 @@ def reference_attend_out(
     denom = jnp.where(denom == 0.0, 1.0, denom)
     a = jnp.einsum("bhs,bhsd->bhd", p / denom, v.astype(jnp.float32))
     y = jnp.einsum("bhd,hdo->bo", a.astype(wout.dtype), wout)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
     if gate is not None:
         y = y * jnp.tanh(jnp.asarray(gate, jnp.float32)).reshape(())
     if residual is not None:
