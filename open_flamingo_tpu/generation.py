@@ -257,6 +257,17 @@ def flamingo_generate(
     # (extra slots stay masked in pad_mask — semantics unchanged)
     cache_len = -(-(t + cfg.max_new_tokens) // 16) * 16
 
+    # Tensor-parallel params (model-axis sharded) cannot feed the fused
+    # decode pallas_calls — detect from concrete params (no-op for
+    # tracer params under an outer jit; such callers must invoke
+    # ops.dense_stream.note_params_sharding themselves).
+    from .ops import dense_stream
+
+    if not any(
+        isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(params)
+    ):
+        dense_stream.note_params_sharding(params)
+
     latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
     n_media = count_media(lang_x, model.cfg.media_token_id)
 

@@ -107,6 +107,19 @@ def _decode_kernel(
         ).astype(jnp.float32)
 
     mask = mask_ref[0, 0][None, :] > 0              # (1, BK)
+    if kv_len % block_k != 0:
+        # Ragged S: the last grid block's out-of-bounds K/V/mask reads
+        # are undefined on TPU — AND in the in-kernel bound so garbage
+        # mask bytes can never admit garbage keys (silent wrong logits),
+        # and zero the OOB V rows (p=0 times NaN garbage is still NaN).
+        j = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, mask.shape, 1
+        )
+        mask = jnp.logical_and(mask, j < kv_len)
+        jv = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, v_new.shape, 1
+        )
+        v_new = jnp.where(jv < kv_len, v_new, jnp.zeros_like(v_new))
     s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_ref[:, :1]

@@ -60,12 +60,15 @@ def _attend_out_kernel(
     wout_ref,       # (1, Dh, D) this head's slice of the out projection
     *rest,
     kv_len, block_s, use_alibi, update, has_bias, has_gate, has_residual,
+    has_wscale,
 ):
     i = 0
     kn_ref = vn_ref = None
     if update:
         kn_ref, vn_ref = rest[i], rest[i + 1]
         i += 2
+    ws_ref = rest[i] if has_wscale else None
+    i += has_wscale
     bias_ref = rest[i] if has_bias else None
     i += has_bias
     gate_ref = rest[i] if has_gate else None
@@ -126,8 +129,10 @@ def _attend_out_kernel(
     denom = jnp.where(denom == 0.0, 1.0, denom)          # all-masked -> 0
     a = jnp.sum((p / denom)[..., None] * v.astype(jnp.float32), axis=1)
 
+    wmat = wout_ref[0]
+    mm_dtype = y_ref.dtype if wmat.dtype == jnp.int8 else wmat.dtype
     acc_ref[...] += jax.lax.dot_general(
-        a.astype(wout_ref.dtype), wout_ref[0],
+        a.astype(mm_dtype), wmat.astype(mm_dtype),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                    # (B, D)
@@ -135,6 +140,10 @@ def _attend_out_kernel(
     @pl.when(h == pl.num_programs(0) - 1)
     def _fin():
         y = acc_ref[...]
+        if has_wscale:
+            # per-out-column scale is head-independent -> commutes with
+            # the head accumulation
+            y = y * ws_ref[0].astype(jnp.float32)
         if has_bias:
             y = y + bias_ref[0].astype(jnp.float32)
         if has_gate:
@@ -156,6 +165,7 @@ def attend_out_decode(
     v_new: Optional[jax.Array] = None,
     slot=None,               # scalar int32 (required with k_new)
     slopes=None,             # static (H,) ALiBi slopes or None
+    wout_scale: Optional[jax.Array] = None,  # (D,) int8 wout scales
     bias: Optional[jax.Array] = None,     # (D,) out-projection bias
     gate: Optional[jax.Array] = None,     # scalar: y *= tanh(gate)
     residual: Optional[jax.Array] = None,  # (B, D)
@@ -200,6 +210,9 @@ def attend_out_decode(
             pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
             pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
         ]
+    if wout_scale is not None:
+        operands.append(jnp.asarray(wout_scale, jnp.float32).reshape(1, d))
+        in_specs.append(pl.BlockSpec((1, d), lambda hh, slot: (0, 0)))
     if bias is not None:
         operands.append(jnp.asarray(bias).reshape(1, d))
         in_specs.append(pl.BlockSpec((1, d), lambda hh, slot: (0, 0)))
@@ -237,6 +250,7 @@ def attend_out_decode(
         use_alibi=slopes is not None, update=update,
         has_bias=bias is not None,
         has_gate=gate is not None, has_residual=residual is not None,
+        has_wscale=wout_scale is not None,
     )
     res = pl.pallas_call(
         kernel,
@@ -263,7 +277,7 @@ def _attn_block_kernel(
     wq_ref,         # (D, G*Dh) — this group's q columns
     *rest,
     group, head_dim, kv_len, block_s, eps, clip, scale, use_alibi,
-    proj_kv, has_ln_bias, has_gate,
+    proj_kv, has_ln_bias, has_gate, has_wqs, has_wouts,
 ):
     i = 0
     wk_ref = wv_ref = None
@@ -276,6 +290,16 @@ def _attn_block_kernel(
     wout_ref = rest[i + 4]                   # (G*Dh, D)
     ln_s_ref = rest[i + 5]
     i += 6
+    wqs_ref = wks_ref = wvs_ref = wouts_ref = None
+    if has_wqs:
+        wqs_ref = rest[i]
+        i += 1
+        if proj_kv:
+            wks_ref, wvs_ref = rest[i], rest[i + 1]
+            i += 2
+    if has_wouts:
+        wouts_ref = rest[i]
+        i += 1
     ln_b_ref = rest[i] if has_ln_bias else None
     i += has_ln_bias
     gate_ref = rest[i] if has_gate else None
@@ -305,19 +329,26 @@ def _attn_block_kernel(
         h = h + ln_b_ref[0].astype(jnp.float32)
     hd = h.astype(x.dtype)
 
-    def proj(w_ref):
+    def proj(w_ref, ws_ref=None):
+        w = w_ref[...]
+        if w.dtype == jnp.int8:
+            # int8 weight streaming: exact int8 -> bf16 convert, the
+            # per-out-channel scale restores magnitude BEFORE clip_qkv
+            w = w.astype(x.dtype)
         y = jax.lax.dot_general(
-            hd, w_ref[...], (((1,), (0,)), ((), ())),
+            hd, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if ws_ref is not None:
+            y = y * ws_ref[0].astype(jnp.float32)
         if clip is not None:
             y = jnp.clip(y, -clip, clip)
         return y                                  # (B, G*Dh) f32
 
-    qg = proj(wq_ref)
+    qg = proj(wq_ref, wqs_ref)
     if proj_kv:
-        kg = proj(wk_ref)
-        vg = proj(wv_ref)
+        kg = proj(wk_ref, wks_ref)
+        vg = proj(wv_ref, wvs_ref)
 
     slot = slot_ref[0]
     dh = head_dim
@@ -359,8 +390,11 @@ def _attn_block_kernel(
         denom = jnp.sum(p, axis=-1, keepdims=True)
         denom = jnp.where(denom == 0.0, 1.0, denom)   # all-masked -> 0
         a = jnp.sum((p / denom)[..., None] * v_i.astype(jnp.float32), axis=1)
+        wo = wout_ref[sl, :]
+        if wo.dtype == jnp.int8:
+            wo = wo.astype(x.dtype)
         acc_ref[...] += jax.lax.dot_general(
-            a.astype(x.dtype), wout_ref[sl, :],
+            a.astype(x.dtype), wo,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -368,6 +402,9 @@ def _attn_block_kernel(
     @pl.when(g == pl.num_programs(0) - 1)
     def _fin():
         y = acc_ref[...]
+        if has_wouts:
+            # per-out-column scale commutes with the group accumulation
+            y = y * wouts_ref[0].astype(jnp.float32)
         if has_gate:
             y = y * jnp.tanh(gate_ref[...].astype(jnp.float32))
         y_ref[...] = (y + xf).astype(y_ref.dtype)
@@ -391,6 +428,8 @@ def attn_block_decode(
     slopes=None,
     clip: Optional[float] = None,
     gate: Optional[jax.Array] = None,
+    wq_scale: Optional[jax.Array] = None,   # (3*H*Dh,) / (H*Dh,) int8
+    wout_scale: Optional[jax.Array] = None,  # (D,) int8 wout scales
     eps: float = 1e-5,
     head_block: int = 8,
     block_s: int = 16,
@@ -443,6 +482,21 @@ def attn_block_decode(
         pl.BlockSpec((gdh, d), lambda gg, slot: (gg, 0)),
         pl.BlockSpec((1, d), lambda gg, slot: (0, 0)),
     ]
+    if wq_scale is not None:
+        ws = jnp.asarray(wq_scale, jnp.float32).reshape(1, -1)
+        operands.append(ws)
+        in_specs.append(pl.BlockSpec((1, gdh), lambda gg, slot: (0, gg)))
+        if fused_qkv:
+            operands += [ws, ws]
+            in_specs += [
+                pl.BlockSpec((1, gdh),
+                             lambda gg, slot: (0, n_groups + gg)),
+                pl.BlockSpec((1, gdh),
+                             lambda gg, slot: (0, 2 * n_groups + gg)),
+            ]
+    if wout_scale is not None:
+        operands.append(jnp.asarray(wout_scale, jnp.float32).reshape(1, d))
+        in_specs.append(pl.BlockSpec((1, d), lambda gg, slot: (0, 0)))
     has_ln_bias = ln_bias is not None
     if has_ln_bias:
         operands.append(jnp.asarray(ln_bias).reshape(1, d))
@@ -478,6 +532,8 @@ def attn_block_decode(
         clip=clip, scale=scale, use_alibi=slopes is not None,
         proj_kv=fused_qkv, has_ln_bias=has_ln_bias,
         has_gate=gate is not None,
+        has_wqs=wq_scale is not None,
+        has_wouts=wout_scale is not None,
     )
     res = pl.pallas_call(
         kernel,
@@ -500,9 +556,11 @@ def attn_block_decode(
 
 def reference_attend_out(
     q, k, v, mask, wout, *, scale, k_new=None, v_new=None, slot=None,
-    slopes=None, bias=None, gate=None, residual=None,
+    slopes=None, wout_scale=None, bias=None, gate=None, residual=None,
 ):
     """jnp semantics mirror (parity tests). wout: (H, Dh, D)."""
+    if wout.dtype == jnp.int8:
+        wout = wout.astype(q.dtype)
     b, h, dh = q.shape
     s_max = k.shape[2]
     if k_new is not None:
@@ -523,6 +581,8 @@ def reference_attend_out(
     denom = jnp.where(denom == 0.0, 1.0, denom)
     a = jnp.einsum("bhs,bhsd->bhd", p / denom, v.astype(jnp.float32))
     y = jnp.einsum("bhd,hdo->bo", a.astype(wout.dtype), wout)
+    if wout_scale is not None:
+        y = y * wout_scale.astype(y.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     if gate is not None:

@@ -47,9 +47,59 @@ FORCE_FUSED = False
 DISABLE_FUSED = False
 INTERPRET = False
 
+# Model-axis tensor parallelism gate. The fused decode pallas_calls have
+# no GSPMD partitioning rules: handing them model-axis-sharded weights
+# makes XLA replicate (a full per-step weight all-gather) or fail to
+# compile. flamingo_generate auto-detects this from concrete params;
+# callers that jit around generate with sharded params must call
+# note_params_sharding(params) once, outside jit.
+_MODEL_SHARDED = False
+_WARNED_SHARDED = False
+
+
+def params_model_sharded(params) -> bool:
+    """True if any param leaf is sharded along a >1-sized 'model' mesh
+    axis. Tracer leaves (inside jit) carry no sharding and are skipped."""
+    for leaf in jax.tree.leaves(params):
+        if isinstance(leaf, jax.core.Tracer):
+            continue
+        sharding = getattr(leaf, "sharding", None)
+        spec = getattr(sharding, "spec", None)
+        mesh = getattr(sharding, "mesh", None)
+        if spec is None or mesh is None:
+            continue
+        axes = set()
+        for entry in tuple(spec):
+            if entry is None:
+                continue
+            axes.update(entry if isinstance(entry, tuple) else (entry,))
+        if "model" in axes and dict(mesh.shape).get("model", 1) > 1:
+            return True
+    return False
+
+
+def note_params_sharding(params) -> bool:
+    """Record (OUTSIDE jit, with concrete placed params) whether the
+    model's params are model-axis sharded; returns the new gate value."""
+    global _MODEL_SHARDED
+    _MODEL_SHARDED = params_model_sharded(params)
+    return _MODEL_SHARDED
+
 
 def use_fused_decode(tq: int, cached: bool) -> bool:
     """Single-token decode against a cache on TPU -> fused kernels."""
+    global _WARNED_SHARDED
+    if _MODEL_SHARDED:
+        if not _WARNED_SHARDED:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused decode disabled: params are model-axis sharded "
+                "(tensor parallel); falling back to the partitionable "
+                "einsum decode path"
+            )
+            _WARNED_SHARDED = True
+        return False
     if DISABLE_FUSED:
         return False
     if FORCE_FUSED:
@@ -110,10 +160,12 @@ def _act_f32(h, act: Optional[str]):
 
 def _dense_kernel(
     x_ref, w_ref, *rest,
-    eps, act, clip, norm, has_ln, has_ln_bias, has_bias, has_residual,
-    has_gate, w_transposed=False,
+    eps, act, clip, norm, has_wscale, has_ln, has_ln_bias, has_bias,
+    has_residual, has_gate, w_transposed=False,
 ):
     i = 0
+    ws_ref = rest[i] if has_wscale else None
+    i += has_wscale
     ln_s = rest[i] if has_ln else None
     i += has_ln
     ln_b = rest[i] if has_ln_bias else None
@@ -129,11 +181,18 @@ def _dense_kernel(
     h = _norm_f32(x_ref[...], ln_s, ln_b, eps, norm) if has_ln else (
         x_ref[...].astype(jnp.float32)
     )
+    w = w_ref[...]
+    if w.dtype == jnp.int8:
+        # int8 weight streaming: |w_q| <= 127 so the int8 -> bf16
+        # convert is exact; per-out-channel scales apply on the output.
+        w = w.astype(x_ref.dtype)
     y = jax.lax.dot_general(
-        h.astype(x_ref.dtype), w_ref[...],
+        h.astype(x_ref.dtype), w,
         (((1,), (1 if w_transposed else 0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if has_wscale:
+        y = y * ws_ref[0].astype(jnp.float32)
     if has_bias:
         y = y + b_ref[0].astype(jnp.float32)
     if clip is not None:
@@ -150,8 +209,9 @@ def _dense_kernel(
 
 def fused_dense(
     x: jax.Array,               # (B, K)
-    w: jax.Array,               # (K, N)
+    w: jax.Array,               # (K, N), bf16/f32 or int8 (w_scale set)
     *,
+    w_scale: Optional[jax.Array] = None,      # (N,) per-out-channel
     bias: Optional[jax.Array] = None,        # (N,)
     ln_scale: Optional[jax.Array] = None,     # (K,) -> norm(x) first
     ln_bias: Optional[jax.Array] = None,
@@ -167,9 +227,11 @@ def fused_dense(
 ) -> jax.Array:
     """epilogue(LN?(x) @ W): one launch, weights streamed at line rate.
 
-    Epilogue order: +bias -> clip -> act -> *tanh(gate) -> +residual.
-    w_transposed streams a (N, K) weight (e.g. a tied embedding table
-    used as the LM head) without materializing its transpose.
+    Epilogue order: *w_scale -> +bias -> clip -> act -> *tanh(gate) ->
+    +residual. w_transposed streams a (N, K) weight (e.g. a tied
+    embedding table used as the LM head) without materializing its
+    transpose. With int8 `w` + per-out-channel `w_scale`, the weight
+    stream halves — the decode DMA floor (BASELINE.md roofline).
     """
     interpret = INTERPRET if interpret is None else interpret
     b, k = x.shape
@@ -194,6 +256,9 @@ def fused_dense(
     def vec(v, dim):
         return jnp.asarray(v).reshape(1, dim)
 
+    if w_scale is not None:
+        operands.append(vec(w_scale.astype(jnp.float32), n))
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i: (0, i)))
     if ln_scale is not None:
         operands.append(vec(ln_scale, k))
         in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
@@ -214,6 +279,7 @@ def fused_dense(
     kernel = functools.partial(
         _dense_kernel,
         eps=eps, act=act, clip=clip, norm=norm,
+        has_wscale=w_scale is not None,
         has_ln=ln_scale is not None,
         has_ln_bias=ln_bias is not None,
         has_bias=bias is not None,
@@ -239,11 +305,18 @@ def fused_dense(
 def _mlp_kernel(
     x_ref, w1_ref, w2_ref, *rest,
     eps, act, norm, has_ln, has_ln_bias, has_w1b, has_b1, has_b2,
-    has_residual, has_gate,
+    has_residual, has_gate, has_w1s, has_w2s, has_w1bs, k2_total,
+    block_k2,
 ):
     i = 0
     w1b_ref = rest[i] if has_w1b else None
     i += has_w1b
+    w1s_ref = rest[i] if has_w1s else None
+    i += has_w1s
+    w2s_ref = rest[i] if has_w2s else None
+    i += has_w2s
+    w1bs_ref = rest[i] if has_w1bs else None
+    i += has_w1bs
     ln_s = rest[i] if has_ln else None
     i += has_ln
     ln_b = rest[i] if has_ln_bias else None
@@ -269,23 +342,49 @@ def _mlp_kernel(
     else:
         h = x_ref[...].astype(jnp.float32)
     hd = h.astype(x_ref.dtype)
+
+    def cast_w(w):
+        # int8 -> compute dtype is exact (|w_q| <= 127, bf16 has 8
+        # mantissa bits); scales apply per out-channel on the output
+        return w.astype(x_ref.dtype) if w.dtype == jnp.int8 else w
+
     u = jax.lax.dot_general(
-        hd, w1_ref[...],
+        hd, cast_w(w1_ref[...]),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                            # (B, BK2)
+    if has_w1s:
+        u = u * w1s_ref[0].astype(jnp.float32)
     if has_b1:
         u = u + b1_ref[0].astype(jnp.float32)
     u = _act_f32(u, act)
     if has_w1b:
         # SwiGLU: act(x@w1) * (x@w1b)
-        u = u * jax.lax.dot_general(
-            hd, w1b_ref[...],
+        u2 = jax.lax.dot_general(
+            hd, cast_w(w1b_ref[...]),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if has_w1bs:
+            u2 = u2 * w1bs_ref[0].astype(jnp.float32)
+        u = u * u2
+    w2b = cast_w(w2_ref[...])
+    if k2_total % block_k2 != 0:
+        # Ragged hidden axis (llama-7B 11008, OPT/pythia 3072 with
+        # block 2048): the last grid block's out-of-bounds W1/b1/W2
+        # reads are undefined (NaN in interpret mode). K2 is the
+        # reduction axis of the second matmul, so BOTH sides must be
+        # zeroed — where-selects kill NaN/Inf; 0*0 contributes exactly 0.
+        lane = ki * block_k2 + jax.lax.broadcasted_iota(
+            jnp.int32, u.shape, 1
+        )
+        u = jnp.where(lane < k2_total, u, 0.0)
+        row = ki * block_k2 + jax.lax.broadcasted_iota(
+            jnp.int32, w2b.shape, 0
+        )
+        w2b = jnp.where(row < k2_total, w2b, jnp.zeros_like(w2b))
     acc_ref[...] += jax.lax.dot_general(
-        u.astype(x_ref.dtype), w2_ref[...],
+        u.astype(x_ref.dtype), w2b,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                            # (B, N)
@@ -293,6 +392,10 @@ def _mlp_kernel(
     @pl.when(ki == pl.num_programs(0) - 1)
     def _fin():
         y = acc_ref[...]
+        if has_w2s:
+            # per-out-channel W2 scale is constant across the K2 grid,
+            # so it commutes with the accumulation
+            y = y * w2s_ref[0].astype(jnp.float32)
         if has_b2:
             y = y + b2_ref[0].astype(jnp.float32)
         if has_gate:
@@ -309,6 +412,9 @@ def fused_mlp(
     w2: jax.Array,              # (K2, N)
     *,
     w1_gate: Optional[jax.Array] = None,       # (K, K2) SwiGLU up-proj
+    w1_scale: Optional[jax.Array] = None,      # (K2,) int8 w1 scales
+    w2_scale: Optional[jax.Array] = None,      # (N,)  int8 w2 scales
+    w1_gate_scale: Optional[jax.Array] = None,  # (K2,)
     b1: Optional[jax.Array] = None,
     b2: Optional[jax.Array] = None,
     ln_scale: Optional[jax.Array] = None,
@@ -334,7 +440,8 @@ def fused_mlp(
     interpret = INTERPRET if interpret is None else interpret
     assert k1 == k and k2b == k2, (x.shape, w1.shape, w2.shape)
     block_k2 = min(block_k2, k2)
-    assert k2 % block_k2 == 0, (k2, block_k2)
+    # ragged K2 (k2 % block_k2 != 0) is handled by in-kernel lane
+    # masking of the last block — see _mlp_kernel
 
     operands = [x, w1, w2]
     in_specs = [
@@ -349,6 +456,16 @@ def fused_mlp(
     def vec(v, dim):
         return jnp.asarray(v).reshape(1, dim)
 
+    if w1_scale is not None:
+        operands.append(vec(w1_scale.astype(jnp.float32), k2))
+        in_specs.append(pl.BlockSpec((1, block_k2), lambda i: (0, i)))
+    if w2_scale is not None:
+        operands.append(vec(w2_scale.astype(jnp.float32), n))
+        in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0)))
+    if w1_gate_scale is not None:
+        assert w1_gate is not None
+        operands.append(vec(w1_gate_scale.astype(jnp.float32), k2))
+        in_specs.append(pl.BlockSpec((1, block_k2), lambda i: (0, i)))
     if ln_scale is not None:
         operands.append(vec(ln_scale, k))
         in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
@@ -379,12 +496,16 @@ def fused_mlp(
         has_b2=b2 is not None,
         has_residual=residual is not None,
         has_gate=gate is not None,
+        has_w1s=w1_scale is not None,
+        has_w2s=w2_scale is not None,
+        has_w1bs=w1_gate_scale is not None,
+        k2_total=k2, block_k2=block_k2,
     )
     from jax.experimental.pallas import tpu as pltpu
 
     return pl.pallas_call(
         kernel,
-        grid=(k2 // block_k2,),
+        grid=(pl.cdiv(k2, block_k2),),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b, n), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
@@ -395,10 +516,12 @@ def fused_mlp(
 
 
 def reference_dense(
-    x, w, *, bias=None, ln_scale=None, ln_bias=None, eps=1e-5, norm="layer",
-    act=None, clip=None, residual=None, gate=None,
+    x, w, *, w_scale=None, bias=None, ln_scale=None, ln_bias=None,
+    eps=1e-5, norm="layer", act=None, clip=None, residual=None, gate=None,
 ):
     """Plain-jnp semantics mirror of fused_dense (parity tests)."""
+    if w.dtype == jnp.int8:
+        w = w.astype(x.dtype)
     h = x.astype(jnp.float32)
     if ln_scale is not None:
         if norm == "rms":
@@ -416,6 +539,8 @@ def reference_dense(
         h.astype(x.dtype), w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if w_scale is not None:
+        y = y * w_scale.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     if clip is not None:
@@ -429,17 +554,20 @@ def reference_dense(
 
 
 def reference_mlp(
-    x, w1, w2, *, w1_gate=None, b1=None, b2=None, ln_scale=None,
+    x, w1, w2, *, w1_gate=None, w1_scale=None, w2_scale=None,
+    w1_gate_scale=None, b1=None, b2=None, ln_scale=None,
     ln_bias=None, eps=1e-5, norm="layer", act="gelu", residual=None,
     gate=None,
 ):
     u = reference_dense(
-        x, w1, bias=b1, ln_scale=ln_scale, ln_bias=ln_bias, eps=eps,
-        norm=norm, act=act,
+        x, w1, w_scale=w1_scale, bias=b1, ln_scale=ln_scale,
+        ln_bias=ln_bias, eps=eps, norm=norm, act=act,
     )
     if w1_gate is not None:
         u = u * reference_dense(
-            x, w1_gate, ln_scale=ln_scale, ln_bias=ln_bias, eps=eps,
-            norm=norm,
+            x, w1_gate, w_scale=w1_gate_scale, ln_scale=ln_scale,
+            ln_bias=ln_bias, eps=eps, norm=norm,
         )
-    return reference_dense(u, w2, bias=b2, residual=residual, gate=gate)
+    return reference_dense(
+        u, w2, w_scale=w2_scale, bias=b2, residual=residual, gate=gate
+    )

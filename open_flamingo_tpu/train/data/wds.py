@@ -352,7 +352,24 @@ class ProcessPrefetchLoader:
         served, finished = 0, 0
         try:
             while served < self.num_batches and finished < self.num_workers:
-                item = q.get()
+                # Watchdog: a hard worker death (OOM-kill, segfault in
+                # PIL/libjpeg) never posts the sentinel from its finally
+                # block, so a bare q.get() would hang the train loop
+                # forever. Poll with a timeout and treat a dead worker
+                # without a sentinel as finished (torch DataLoader's
+                # worker-watchdog semantics).
+                try:
+                    item = q.get(timeout=5.0)
+                except queue.Empty:
+                    if not any(p.is_alive() for p in procs) and q.empty():
+                        log.error(
+                            "all loader processes exited with %d/%d "
+                            "sentinels received (hard worker death?); "
+                            "ending epoch early",
+                            finished, self.num_workers,
+                        )
+                        break
+                    continue
                 if item is None:
                     finished += 1
                     continue

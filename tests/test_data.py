@@ -150,9 +150,8 @@ def test_mmc4_assignment_and_rejection(rng):
             return 0.9
     vision, ids, mask = preprocess_interleaved(doc, cfg, proc, tok, media_id, KeepRng())
     assert (ids == media_id).sum() == 1
-    # the <image> precedes the tokens of sentence 2
-    toks = tok.batch_decode([ids])[0]
-    assert "<image>" in toks or True  # decode drops specials; check ids
+    # the <image> precedes the tokens of sentence 2 (decode drops
+    # specials, so locate it by token id)
     pos = int(np.argmax(ids == media_id))
     # sentence 2 is "sentence number 2"
     two = tok.encode("2")[-1]

@@ -56,3 +56,15 @@ def test_decode_all_masked_rows_zero(rng):
     np.testing.assert_array_equal(got[1], 0.0)
     want = np.asarray(reference_decode_attention(q, k, v, m))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("block_k", [16, 9])
+def test_decode_ragged_s_blocks(rng, block_k):
+    # S % block_k != 0: the last grid block overhangs the cache; the
+    # in-kernel bound must keep out-of-bounds keys masked even if the
+    # OOB mask bytes read as valid (ADVICE r2: silent wrong logits).
+    q, k, v, mask = _inputs(rng)
+    got = decode_attention(q, k, v, mask, scale=0.5, block_k=block_k,
+                           interpret=True)
+    want = reference_decode_attention(q, k, v, mask, scale=0.5)
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -384,3 +384,35 @@ def test_fused_dense_bf16(data):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
     )
+
+
+@pytest.mark.parametrize("k2,block", [(352, 128), (384, 256), (96, 64)])
+def test_fused_mlp_ragged_k2(data, k2, block):
+    # intermediate_size not divisible by the block (llama-7B 11008,
+    # OPT/pythia 3072 at block 2048 — ADVICE r2 high): the last hidden
+    # block is lane-masked in-kernel instead of asserting.
+    x = data(B, K)
+    w1, w2 = data(K, k2, scale=0.05), data(k2, N, scale=0.05)
+    b1, b2 = data(k2, scale=0.1), data(N, scale=0.1)
+    ln_s = data(K, scale=1.0)
+    res = data(B, N)
+    got = fused_mlp(
+        x, w1, w2, b1=b1, b2=b2, ln_scale=ln_s, act="gelu",
+        residual=res, block_k2=block, interpret=True,
+    )
+    want = reference_mlp(
+        x, w1, w2, b1=b1, b2=b2, ln_scale=ln_s, act="gelu", residual=res
+    )
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_fused_mlp_ragged_k2_swiglu(data):
+    x = data(B, K)
+    k2 = 352
+    w1, w1g = data(K, k2, scale=0.05), data(K, k2, scale=0.05)
+    w2 = data(k2, N, scale=0.05)
+    got = fused_mlp(
+        x, w1, w2, w1_gate=w1g, act="silu", block_k2=128, interpret=True,
+    )
+    want = reference_mlp(x, w1, w2, w1_gate=w1g, act="silu")
+    np.testing.assert_allclose(got, want, atol=3e-5)

@@ -1,0 +1,176 @@
+"""int8 weight-streaming decode: kernel-level exactness (weights on the
+int8 grid -> fused int8 path must match the bf16 reference bit-for-bit
+up to fp32 matmul noise) and quantization-error bounds on gaussian
+weights. Interpret mode; the on-TPU A/B lives in bench.py/BASELINE.md."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_flamingo_tpu.ops.dense_stream import (
+    fused_dense,
+    fused_mlp,
+    reference_dense,
+    reference_mlp,
+)
+from open_flamingo_tpu.ops.decode_layer import (
+    attend_out_decode,
+    attn_block_decode,
+    reference_attend_out,
+)
+
+B, K, N, K2 = 8, 256, 384, 512
+
+
+def quant_ref(w, axis):
+    """Per-channel symmetric int8 quantization (numpy reference)."""
+    amax = np.max(np.abs(np.asarray(w, np.float32)), axis=axis)
+    scale = np.where(amax == 0, 1.0, amax / 127.0).astype(np.float32)
+    exp = [slice(None)] * w.ndim
+    for a in np.atleast_1d(axis):
+        exp[a] = None
+    w_q = np.clip(np.round(w / scale[tuple(exp)]), -127, 127).astype(np.int8)
+    return jnp.asarray(w_q), jnp.asarray(scale)
+
+
+def grid_weight(rng, *shape, axis=0):
+    """A weight already exactly on an int8 grid: w = w_q * s."""
+    w_q = rng.integers(-127, 128, size=shape).astype(np.float32)
+    # per-out-channel scales, exact in bf16 (powers of two)
+    out_dim = shape[1 - axis] if len(shape) == 2 else shape[-1]
+    s = 2.0 ** rng.integers(-10, -6, size=out_dim).astype(np.float32)
+    return w_q, s
+
+
+def test_fused_dense_int8_exact(rng):
+    w_q, s = grid_weight(rng, K, N)
+    x = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+    w = jnp.asarray(w_q * s[None, :], jnp.float32)
+    got = fused_dense(
+        x, jnp.asarray(w_q, jnp.int8), w_scale=jnp.asarray(s),
+        block_n=128, interpret=True,
+    )
+    want = reference_dense(x, w)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_dense_int8_transposed_ragged(rng):
+    # tied-embedding logits path: (V, K) streamed transposed, ragged V
+    v_dim = 300
+    w_q, s = grid_weight(rng, v_dim, K, axis=1)
+    x = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+    w = jnp.asarray(w_q * s[:, None], jnp.float32)
+    got = fused_dense(
+        x, jnp.asarray(w_q, jnp.int8), w_scale=jnp.asarray(s),
+        w_transposed=True, block_n=128, interpret=True,
+    )
+    want = reference_dense(x, w.T)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_int8_exact(rng):
+    w1_q, s1 = grid_weight(rng, K, K2)
+    w2_q, s2 = grid_weight(rng, K2, N)
+    x = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+    ln_s = jnp.asarray(rng.normal(size=(K,)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+    w1 = jnp.asarray(w1_q * s1[None, :], jnp.float32)
+    w2 = jnp.asarray(w2_q * s2[None, :], jnp.float32)
+    got = fused_mlp(
+        x, jnp.asarray(w1_q, jnp.int8), jnp.asarray(w2_q, jnp.int8),
+        w1_scale=jnp.asarray(s1), w2_scale=jnp.asarray(s2),
+        ln_scale=ln_s, act="gelu", residual=res,
+        block_k2=128, interpret=True,
+    )
+    want = reference_mlp(x, w1, w2, ln_scale=ln_s, act="gelu", residual=res)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_fused_mlp_int8_swiglu_ragged_k2(rng):
+    k2 = 352
+    w1_q, s1 = grid_weight(rng, K, k2)
+    wg_q, sg = grid_weight(rng, K, k2)
+    w2_q, s2 = grid_weight(rng, k2, N)
+    x = jnp.asarray(rng.normal(size=(B, K)) * 0.2, jnp.float32)
+    got = fused_mlp(
+        x, jnp.asarray(w1_q, jnp.int8), jnp.asarray(w2_q, jnp.int8),
+        w1_gate=jnp.asarray(wg_q, jnp.int8),
+        w1_scale=jnp.asarray(s1), w2_scale=jnp.asarray(s2),
+        w1_gate_scale=jnp.asarray(sg),
+        act="silu", block_k2=128, interpret=True,
+    )
+    want = reference_mlp(
+        x, jnp.asarray(w1_q * s1[None, :], jnp.float32),
+        jnp.asarray(w2_q * s2[None, :], jnp.float32),
+        w1_gate=jnp.asarray(wg_q * sg[None, :], jnp.float32),
+        act="silu",
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_attend_out_decode_int8(rng):
+    b, h, dh, d, s_len = 4, 4, 32, 128, 32
+    q = jnp.asarray(rng.normal(size=(b, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s_len, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s_len, dh)), jnp.float32)
+    mask = jnp.ones((b, s_len), jnp.int32)
+    w_q = rng.integers(-127, 128, size=(h, dh, d)).astype(np.float32)
+    s = 2.0 ** rng.integers(-10, -6, size=d).astype(np.float32)
+    res = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    got = attend_out_decode(
+        q, k, v, mask, jnp.asarray(w_q, jnp.int8),
+        scale=dh**-0.5, wout_scale=jnp.asarray(s),
+        residual=res, interpret=True,
+    )
+    want = reference_attend_out(
+        q, k, v, mask, jnp.asarray(w_q * s[None, None, :], jnp.float32),
+        scale=dh**-0.5, residual=res,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_attn_block_decode_int8(rng):
+    b, h, dh, s_len = 4, 4, 32, 32
+    d = h * dh
+    x = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)), jnp.float32)
+    wq_q = rng.integers(-127, 128, size=(d, 3 * d)).astype(np.float32)
+    sq = 2.0 ** rng.integers(-12, -8, size=3 * d).astype(np.float32)
+    wo_q = rng.integers(-127, 128, size=(d, d)).astype(np.float32)
+    so = 2.0 ** rng.integers(-12, -8, size=d).astype(np.float32)
+    kc = jnp.asarray(rng.normal(size=(b, h, s_len, dh)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(b, h, s_len, dh)), jnp.float32)
+    mask = jnp.ones((b, s_len), jnp.int32)
+    slot = 7
+
+    got, kn, vn = attn_block_decode(
+        x, ln_s, None,
+        jnp.asarray(wq_q, jnp.int8), jnp.asarray(wo_q, jnp.int8),
+        kc, vc, mask,
+        heads=h, head_dim=dh, scale=dh**-0.5,
+        fused_qkv=True, slot=slot, clip=6.0,
+        wq_scale=jnp.asarray(sq), wout_scale=jnp.asarray(so),
+        interpret=True,
+    )
+
+    # einsum mirror with the dequantized weights
+    wq = jnp.asarray(wq_q * sq[None, :], jnp.float32)
+    wo = jnp.asarray(wo_q * so[None, :], jnp.float32)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = np.maximum(0.0, (xf**2).mean(-1, keepdims=True) - mu**2)
+    hN = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s
+    qkv = jnp.clip(hN @ wq, -6.0, 6.0)
+    qq, kk, vv = jnp.split(qkv, 3, axis=-1)
+    qq = qq.reshape(b, h, dh)
+    kk = kk.reshape(b, h, dh)
+    vv = vv.reshape(b, h, dh)
+    want, kw, vw = reference_attend_out(
+        qq, kc, vc, mask, wo.reshape(h, dh, d).astype(jnp.float32),
+        scale=dh**-0.5, k_new=kk, v_new=vv, slot=slot,
+    )
+    np.testing.assert_allclose(got, np.asarray(want) + np.asarray(xf),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(kn, kw, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(vn, vw, rtol=1e-5, atol=1e-5)
