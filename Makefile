@@ -1,10 +1,15 @@
-.PHONY: install test bench entry dryrun lint
+.PHONY: install test test-fast bench entry dryrun lint
 
 install:
 	pip install -e . --no-deps --no-build-isolation
 
 test:
 	python -m pytest tests/ -q
+
+# fast tier (<~8 min on 1 CPU core): everything except the slow-marked
+# real-width parity, e2e CLI, scan-training and sharded-suite tests
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

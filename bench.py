@@ -33,7 +33,7 @@ def main():
     model = Flamingo(cfg=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     T_TXT, NEW = 32, 32
 
-    def measure(B):
+    def measure(B, int8=False):
         vision_x = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
         ids = jnp.zeros((B, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
         mask = jnp.ones((B, T_TXT), jnp.int32)
@@ -45,6 +45,13 @@ def main():
         params = jax.jit(
             lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
         )()
+        if int8:
+            # int8 weight-streaming decode (quantize.py): halves the
+            # per-token weight DMA. Zeros quantize to zeros/unit scales —
+            # throughput is weight-value-independent.
+            from open_flamingo_tpu.quantize import quantize_decode_params
+
+            params = jax.jit(quantize_decode_params)(params)
         gen_cfg = GenerationConfig(
             max_new_tokens=NEW, pad_token_id=1, eos_token_id=cfg.eoc_token_id
         )
@@ -68,14 +75,18 @@ def main():
 
     serve = measure(32)   # throughput-oriented serving batch
     small = measure(8)    # the eval harness's batch size
-    tokens_per_sec = serve["tokens_per_sec_per_chip"]
+    serve_q = measure(32, int8=True)
+    small_q = measure(8, int8=True)
+    tokens_per_sec = serve_q["tokens_per_sec_per_chip"]
 
     detail = {
         "prompt_len": T_TXT,
         "new_tokens": NEW,
-        "dtype": "bf16",
+        "dtype": "bf16 + int8 weight-streaming decode (headline)",
         "batch_32": serve,
         "batch_8": small,
+        "batch_32_int8": serve_q,
+        "batch_8_int8": small_q,
     }
     try:
         detail["train_step"] = bench_train_step()

@@ -344,6 +344,10 @@ def build_parser():
     p.add_argument("--checkpoint_path", default=None)
     p.add_argument("--cross_attn_every_n_layers", type=int, default=1)
     p.add_argument("--precision", default="bf16")
+    p.add_argument("--int8_decode", action="store_true",
+                   help="int8 weight-streaming decode (quantize.py): "
+                        "halves the per-token weight DMA; prefill and "
+                        "scoring stay full precision")
     # benchmarks
     for name in ("coco", "flickr"):
         p.add_argument(f"--eval_{name}", action="store_true")
@@ -423,6 +427,10 @@ def main(argv=None, *, eval_model=None):
                 params, ["params", "lm"], conv["lm"],
                 resize_vocab=model.cfg.lm.vocab_size,
             )
+        if args.int8_decode:
+            from ..quantize import quantize_decode_params
+
+            params = quantize_decode_params(params)
         eval_model = OpenFlamingoEvalModel(model, params, image_processor, tokenizer)
 
     rices_encoder = None

@@ -75,9 +75,15 @@ class GPTJBlock(nn.Module):
                 ln_scale=ln_1.scale, ln_bias=ln_1.bias,
                 eps=cfg.layer_norm_eps,
             )
-            q = fused_dense(x2, q_proj.kernel.astype(self.dtype), **ln_kw)
-            k = fused_dense(x2, k_proj.kernel.astype(self.dtype), **ln_kw)
-            v = fused_dense(x2, v_proj.kernel.astype(self.dtype), **ln_kw)
+            w_q, s_q = q_proj.stream_weight()
+            w_k, s_k = k_proj.stream_weight()
+            w_v, s_v = v_proj.stream_weight()
+            w_o, s_o = out_proj.stream_weight()
+            w_in, s_in = fc_in.stream_weight()
+            w_fo, s_fo = fc_out.stream_weight()
+            q = fused_dense(x2, w_q, w_scale=s_q, **ln_kw)
+            k = fused_dense(x2, w_k, w_scale=s_k, **ln_kw)
+            v = fused_dense(x2, w_v, w_scale=s_v, **ln_kw)
             q = q.reshape(b, cfg.num_heads, cfg.head_dim)
             k = k.reshape(b, cfg.num_heads, cfg.head_dim)
             v = v.reshape(b, cfg.num_heads, cfg.head_dim)
@@ -88,16 +94,16 @@ class GPTJBlock(nn.Module):
             hd = cfg.head_dim
             attn_out, kc, vc = attend_out_decode(
                 q[:, 0], layer_kv.k, layer_kv.v, attn.pad_mask,
-                out_proj.kernel.astype(self.dtype).reshape(
-                    cfg.num_heads, hd, d
-                ),
+                w_o.reshape(cfg.num_heads, hd, d),
                 scale=hd**-0.5,
                 k_new=k[:, 0], v_new=v, slot=attn.kv_slot,
+                wout_scale=s_o,
             )
             y = fused_mlp(
                 x2,
-                fc_in.kernel.astype(self.dtype),
-                fc_out.kernel.astype(self.dtype),
+                w_in,
+                w_fo,
+                w1_scale=s_in, w2_scale=s_fo,
                 b1=fc_in.bias, b2=fc_out.bias,
                 act=act_name,
                 residual=x2 + attn_out,

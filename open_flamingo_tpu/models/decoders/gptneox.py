@@ -68,8 +68,12 @@ class GPTNeoXBlock(nn.Module):
             from ...ops.dense_stream import fused_dense, fused_mlp
 
             x2 = x[:, 0]
+            w_qkv, s_qkv = wqkv.stream_weight()
+            w_out, s_out = out_proj.stream_weight()
+            w_up, s_up = up.stream_weight()
+            w_down, s_down = down.stream_weight()
             qkv = fused_dense(
-                x2, wqkv.kernel.astype(self.dtype),
+                x2, w_qkv, w_scale=s_qkv,
                 bias=wqkv.bias if cfg.attention_bias else None,
                 ln_scale=ln_1.scale, ln_bias=ln_1.bias,
                 eps=cfg.layer_norm_eps,
@@ -83,18 +87,18 @@ class GPTNeoXBlock(nn.Module):
             hd = cfg.head_dim
             attn_out, kc, vc = attend_out_decode(
                 q[:, 0], layer_kv.k, layer_kv.v, attn.pad_mask,
-                out_proj.kernel.astype(self.dtype).reshape(
-                    cfg.num_heads, hd, d
-                ),
+                w_out.reshape(cfg.num_heads, hd, d),
                 scale=hd**-0.5,
                 k_new=k[:, 0], v_new=v, slot=attn.kv_slot,
+                wout_scale=s_out,
                 bias=out_proj.bias if cfg.attention_bias else None,
             )
             mlp_in = x2 if cfg.use_parallel_residual else x2 + attn_out
             y = fused_mlp(
                 mlp_in,
-                up.kernel.astype(self.dtype),
-                down.kernel.astype(self.dtype),
+                w_up,
+                w_down,
+                w1_scale=s_up, w2_scale=s_down,
                 b1=up.bias if cfg.attention_bias else None,
                 b2=down.bias if cfg.attention_bias else None,
                 ln_scale=ln_2.scale, ln_bias=ln_2.bias,

@@ -96,9 +96,13 @@ class LlamaBlock(nn.Module):
             ln_kw = dict(
                 ln_scale=ln_1.scale, eps=cfg.layer_norm_eps, norm="rms"
             )
-            q = fused_dense(x2, q_proj.kernel.astype(self.dtype), **ln_kw)
-            k = fused_dense(x2, k_proj.kernel.astype(self.dtype), **ln_kw)
-            v = fused_dense(x2, v_proj.kernel.astype(self.dtype), **ln_kw)
+            w_q, s_q = q_proj.stream_weight()
+            w_k, s_k = k_proj.stream_weight()
+            w_v, s_v = v_proj.stream_weight()
+            w_o, s_o = o_proj.stream_weight()
+            q = fused_dense(x2, w_q, w_scale=s_q, **ln_kw)
+            k = fused_dense(x2, w_k, w_scale=s_k, **ln_kw)
+            v = fused_dense(x2, w_v, w_scale=s_v, **ln_kw)
             q = q.reshape(b, cfg.num_heads, cfg.head_dim)
             k = k.reshape(b, h_kv, cfg.head_dim)
             v = v.reshape(b, h_kv, cfg.head_dim)
@@ -107,20 +111,23 @@ class LlamaBlock(nn.Module):
             )
             q, k = apply_rope(q[:, None], k[:, None], cos, sin)
             hd = cfg.head_dim
+            w_gate, s_gate = gate_proj.stream_weight()
+            w_up, s_up = up_proj.stream_weight()
+            w_down, s_down = down_proj.stream_weight()
             x2, kc, vc = attend_out_decode(
                 q[:, 0], layer_kv.k, layer_kv.v, attn.pad_mask,
-                o_proj.kernel.astype(self.dtype).reshape(
-                    cfg.num_heads, hd, d
-                ),
+                w_o.reshape(cfg.num_heads, hd, d),
                 scale=hd**-0.5,
                 k_new=k[:, 0], v_new=v, slot=attn.kv_slot,
+                wout_scale=s_o,
                 residual=x2,
             )
             y = fused_mlp(
                 x2,
-                gate_proj.kernel.astype(self.dtype),
-                down_proj.kernel.astype(self.dtype),
-                w1_gate=up_proj.kernel.astype(self.dtype),
+                w_gate,
+                w_down,
+                w1_gate=w_up,
+                w1_scale=s_gate, w2_scale=s_down, w1_gate_scale=s_up,
                 ln_scale=ln_2.scale, eps=cfg.layer_norm_eps, norm="rms",
                 act="silu",
                 residual=x2,

@@ -64,21 +64,27 @@ class MPTBlock(nn.Module):
             from ...ops.dense_stream import fused_mlp
 
             hd = cfg.head_dim
+            w_qkv, s_qkv = wqkv.stream_weight()
+            w_out, s_out = out_proj.stream_weight()
+            w_up, s_up = up_proj.stream_weight()
+            w_down, s_down = down_proj.stream_weight()
             x2, kc, vc = attn_block_decode(
                 x[:, 0],
                 norm_1.scale,
                 norm_1.bias if not cfg.ln_no_bias else None,
-                wqkv.kernel.astype(self.dtype),
-                out_proj.kernel.astype(self.dtype),
+                w_qkv,
+                w_out,
                 layer_kv.k, layer_kv.v, attn.pad_mask,
                 heads=cfg.num_heads, head_dim=hd, scale=hd**-0.5,
                 fused_qkv=True, slot=attn.kv_slot, slopes=slopes,
                 clip=cfg.clip_qkv, eps=cfg.layer_norm_eps,
+                wq_scale=s_qkv, wout_scale=s_out,
             )
             y = fused_mlp(
                 x2,
-                up_proj.kernel.astype(self.dtype),
-                down_proj.kernel.astype(self.dtype),
+                w_up,
+                w_down,
+                w1_scale=s_up, w2_scale=s_down,
                 ln_scale=norm_2.scale,
                 ln_bias=norm_2.bias if not cfg.ln_no_bias else None,
                 eps=cfg.layer_norm_eps,

@@ -61,29 +61,35 @@ class OPTBlock(nn.Module):
                 ln_scale=ln_1.scale, ln_bias=ln_1.bias,
                 eps=cfg.layer_norm_eps,
             )
-            q = fused_dense(x2, q_proj.kernel.astype(self.dtype),
+            w_q, s_q = q_proj.stream_weight()
+            w_k, s_k = k_proj.stream_weight()
+            w_v, s_v = v_proj.stream_weight()
+            w_o, s_o = out_proj.stream_weight()
+            w_1, s_1 = fc1.stream_weight()
+            w_2, s_2 = fc2.stream_weight()
+            q = fused_dense(x2, w_q, w_scale=s_q,
                             bias=q_proj.bias, **ln_kw)
-            k = fused_dense(x2, k_proj.kernel.astype(self.dtype),
+            k = fused_dense(x2, w_k, w_scale=s_k,
                             bias=k_proj.bias, **ln_kw)
-            v = fused_dense(x2, v_proj.kernel.astype(self.dtype),
+            v = fused_dense(x2, w_v, w_scale=s_v,
                             bias=v_proj.bias, **ln_kw)
             hd = cfg.head_dim
             x2, kc, vc = attend_out_decode(
                 q.reshape(b, cfg.num_heads, hd),
                 layer_kv.k, layer_kv.v, attn.pad_mask,
-                out_proj.kernel.astype(self.dtype).reshape(
-                    cfg.num_heads, hd, d
-                ),
+                w_o.reshape(cfg.num_heads, hd, d),
                 scale=hd**-0.5,
                 k_new=k.reshape(b, cfg.num_heads, hd),
                 v_new=v.reshape(b, cfg.num_heads, hd),
                 slot=attn.kv_slot,
+                wout_scale=s_o,
                 bias=out_proj.bias, residual=x2,
             )
             y = fused_mlp(
                 x2,
-                fc1.kernel.astype(self.dtype),
-                fc2.kernel.astype(self.dtype),
+                w_1,
+                w_2,
+                w1_scale=s_1, w2_scale=s_2,
                 b1=fc1.bias, b2=fc2.bias,
                 ln_scale=ln_2.scale, ln_bias=ln_2.bias,
                 eps=cfg.layer_norm_eps,

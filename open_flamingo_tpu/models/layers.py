@@ -64,6 +64,18 @@ class PDense(nn.Module):
             y = y + bias
         return y
 
+    def stream_weight(self):
+        """(w, w_scale) for the weight-streaming decode kernels: the
+        int8 copy + per-out-channel scale when a `qparams` collection is
+        bound (quantize.quantize_decode_params), else (dtype-cast
+        kernel, None). Halves the decode DMA when quantized."""
+        if self.has_variable("qparams", "kernel_q"):
+            return (
+                self.get_variable("qparams", "kernel_q"),
+                self.get_variable("qparams", "kernel_s"),
+            )
+        return self.kernel.astype(self.dtype), None
+
 
 class PLayerNorm(nn.Module):
     """nn.LayerNorm with setup()-declared params (see PDense). Mirrors

@@ -179,6 +179,22 @@ class FlamingoLM(nn.Module):
         n = self.cross_attn_every_n
         return n is not None and (layer_idx + 1) % n == 0
 
+    def _can_scan_fused_decode(self, tq, cache, media, media_cache):
+        """Stacked-weight decode engine preconditions: fused decode
+        active, params exist (not initializing), xattn media K/V cached
+        when media is present, and no GQA (llama n_rep>1)."""
+        from ..ops.dense_stream import use_fused_decode
+
+        if self.is_initializing() or not use_fused_decode(
+            tq, cache is not None
+        ):
+            return False
+        if media is not None and media_cache is None:
+            return False
+        if self.cfg.family == "llama" and self.cfg.kv_heads != self.cfg.num_heads:
+            return False
+        return True
+
     @nn.compact
     def __call__(
         self,
@@ -236,7 +252,29 @@ class FlamingoLM(nn.Module):
             )
         media_cache = cache.media if cache is not None else None
 
-        if self.scan_layers:
+        if self.scan_layers and self._can_scan_fused_decode(
+            input_ids.shape[1], cache, media, media_cache
+        ):
+            # stacked-weight decode engine: kernels index the stacked
+            # params directly (no per-layer dynamic-slice copies) —
+            # O(1) compile at unrolled-layout speed (scan_decode.py)
+            from .scan_decode import scan_fused_decode
+
+            variables = self.variables
+            x, new_layers = scan_fused_decode(
+                cfg,
+                x,
+                attn,
+                cache,
+                text_time,
+                variables["params"]["groups"],
+                variables.get("qparams", {}).get("groups"),
+                self.cross_attn_every_n or 1,
+                media.shape[1] if media is not None else 0,
+                media.shape[2] if media is not None else 0,
+                self.dtype,
+            )
+        elif self.scan_layers:
             x, new_layers = self._scan_stack(
                 x, attn, media, text_time, media_mask, zero_rows,
                 cache, media_cache,
@@ -324,13 +362,20 @@ class FlamingoLM(nn.Module):
                     norm="rms", block_n=bn,
                 )
             if cfg.tie_word_embeddings:
+                if embed.has_variable("qparams", "embedding_q"):
+                    w_e = embed.get_variable("qparams", "embedding_q")
+                    s_e = embed.get_variable("qparams", "embedding_s")
+                else:
+                    w_e = embed.embedding.astype(self.dtype)
+                    s_e = None
                 logits = fused_dense(
-                    x[:, 0], embed.embedding.astype(self.dtype),
+                    x[:, 0], w_e, w_scale=s_e,
                     w_transposed=True, **ln_kw,
                 )
             else:
+                w_h, s_h = head.stream_weight()
                 logits = fused_dense(
-                    x[:, 0], head.kernel.astype(self.dtype),
+                    x[:, 0], w_h, w_scale=s_h,
                     bias=head.bias if cfg.lm_head_bias else None,
                     **ln_kw,
                 )
@@ -370,7 +415,7 @@ class FlamingoLM(nn.Module):
             )
         scanned = nn.scan(
             group_cls,
-            variable_axes={"params": 0, "media_kv": 0},
+            variable_axes={"params": 0, "media_kv": 0, "qparams": 0},
             split_rngs={"params": True},
             in_axes=0,
             out_axes=0,

@@ -227,28 +227,30 @@ class MaskedCrossAttention(nn.Module):
             .reshape(-1) + 1
         )
         mask2d = text_time[:, :1] == media_time[None, :]   # (B, S_m)
+        w_q, s_q = to_q.stream_weight()
+        w_o, s_o = to_out_mod.stream_weight()
         if out_gate is not None and out_residual is not None:
             # gated path: one launch for the whole attention half
             y = attn_block_decode(
                 x[:, 0], norm.scale, norm.bias,
-                to_q.kernel.astype(self.dtype),
-                to_out_mod.kernel.astype(self.dtype),
+                w_q,
+                w_o,
                 k, v, mask2d,
                 heads=self.heads, head_dim=self.dim_head,
                 scale=self.dim_head**-0.5, gate=out_gate, eps=LN_EPS,
+                wq_scale=s_q, wout_scale=s_o,
             )
             return y[:, None]
 
         q = fused_dense(
-            x[:, 0], to_q.kernel.astype(self.dtype),
+            x[:, 0], w_q, w_scale=s_q,
             ln_scale=norm.scale, ln_bias=norm.bias, eps=LN_EPS,
         )
         out = attend_out_decode(
             q.reshape(b, self.heads, self.dim_head), k, v, mask2d,
-            to_out_mod.kernel.astype(self.dtype).reshape(
-                self.heads, self.dim_head, self.dim
-            ),
+            w_o.reshape(self.heads, self.dim_head, self.dim),
             scale=self.dim_head**-0.5,
+            wout_scale=s_o,
             gate=out_gate,
             residual=None if out_residual is None else out_residual[:, 0],
         )
@@ -324,10 +326,13 @@ class GatedCrossAttentionBlock(nn.Module):
                 x, media, text_time, media_kv, media_mask, zero_rows,
                 out_gate=attn_gate, out_residual=x,
             )
+            w_1, s_1 = ff.fc1.stream_weight()
+            w_2, s_2 = ff.fc2.stream_weight()
             y = fused_mlp(
                 x[:, 0],
-                ff.fc1.kernel.astype(self.dtype),
-                ff.fc2.kernel.astype(self.dtype),
+                w_1,
+                w_2,
+                w1_scale=s_1, w2_scale=s_2,
                 ln_scale=ff.norm.scale, ln_bias=ff.norm.bias, eps=LN_EPS,
                 act="gelu",
                 residual=x[:, 0],

@@ -169,11 +169,16 @@ def attend_out_decode(
     bias: Optional[jax.Array] = None,     # (D,) out-projection bias
     gate: Optional[jax.Array] = None,     # scalar: y *= tanh(gate)
     residual: Optional[jax.Array] = None,  # (B, D)
+    layer_idx=None,          # scalar int32: stacked per-layer operands
     block_s: int = 16,
     interpret: Optional[bool] = None,
 ):
     """One-launch attention tail. Returns y (B, D), or
-    (y, k_cache', v_cache') when k_new/v_new are given."""
+    (y, k_cache', v_cache') when k_new/v_new are given.
+
+    layer_idx (scan decode): wout/wout_scale/bias/gate carry a leading
+    L axis; the block index maps select the layer via scalar prefetch
+    (packed as [slot, layer]) — no dynamic-slice weight copies."""
     from .dense_stream import INTERPRET
 
     interpret = INTERPRET if interpret is None else interpret
@@ -181,13 +186,27 @@ def attend_out_decode(
     s_max = k_cache.shape[2]
     d = wout.shape[-1]
     update = k_new is not None
+    stacked = layer_idx is not None
     block_s = _pick_block_s(s_max, block_s)
 
     if slopes is None:
         slopes2 = jnp.zeros((h, 1, 1), jnp.float32)
     else:
         slopes2 = jnp.asarray(slopes, jnp.float32).reshape(h, 1, 1)
-    slot1 = jnp.asarray(0 if slot is None else slot, jnp.int32).reshape(1)
+    # prefetch scalars: [slot, layer] (layer unused when not stacked)
+    slot1 = jnp.stack([
+        jnp.asarray(0 if slot is None else slot, jnp.int32).reshape(()),
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32)
+        .reshape(()),
+    ])
+
+    def sshape(shape):
+        return (None, *shape) if stacked else shape
+
+    def smap(f):
+        if stacked:
+            return lambda hh, slot: (slot[1], *f(hh))
+        return lambda hh, slot: f(hh)
 
     operands = [
         # 4D (B, H, 1, Dh): keeps each head block's last two dims equal
@@ -202,7 +221,7 @@ def attend_out_decode(
         pl.BlockSpec((b, 1, s_max, dh), lambda hh, slot: (0, hh, 0, 0)),
         pl.BlockSpec((b, s_max), lambda hh, slot: (0, 0)),
         pl.BlockSpec((1, 1, 1), lambda hh, slot: (hh, 0, 0)),
-        pl.BlockSpec((1, dh, d), lambda hh, slot: (hh, 0, 0)),
+        pl.BlockSpec(sshape((1, dh, d)), smap(lambda hh: (hh, 0, 0))),
     ]
     if update:
         operands += [k_new[:, :, None, :], v_new[:, :, None, :]]
@@ -210,15 +229,24 @@ def attend_out_decode(
             pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
             pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
         ]
+
+    def vec(v, dim):
+        v = jnp.asarray(v)
+        return v.reshape(-1, 1, dim) if stacked else v.reshape(1, dim)
+
     if wout_scale is not None:
-        operands.append(jnp.asarray(wout_scale, jnp.float32).reshape(1, d))
-        in_specs.append(pl.BlockSpec((1, d), lambda hh, slot: (0, 0)))
+        operands.append(vec(wout_scale.astype(jnp.float32), d))
+        in_specs.append(pl.BlockSpec(sshape((1, d)), smap(lambda hh: (0, 0))))
     if bias is not None:
-        operands.append(jnp.asarray(bias).reshape(1, d))
-        in_specs.append(pl.BlockSpec((1, d), lambda hh, slot: (0, 0)))
+        operands.append(vec(bias, d))
+        in_specs.append(pl.BlockSpec(sshape((1, d)), smap(lambda hh: (0, 0))))
     if gate is not None:
-        operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
-        in_specs.append(pl.BlockSpec((1, 1), lambda hh, slot: (0, 0)))
+        operands.append(
+            jnp.asarray(gate, jnp.float32).reshape(-1, 1, 1)
+            if stacked
+            else jnp.asarray(gate, jnp.float32).reshape(1, 1)
+        )
+        in_specs.append(pl.BlockSpec(sshape((1, 1)), smap(lambda hh: (0, 0))))
     if residual is not None:
         operands.append(residual)
         in_specs.append(pl.BlockSpec((b, d), lambda hh, slot: (0, 0)))
@@ -430,6 +458,7 @@ def attn_block_decode(
     gate: Optional[jax.Array] = None,
     wq_scale: Optional[jax.Array] = None,   # (3*H*Dh,) / (H*Dh,) int8
     wout_scale: Optional[jax.Array] = None,  # (D,) int8 wout scales
+    layer_idx=None,          # scalar int32: stacked per-layer operands
     eps: float = 1e-5,
     head_block: int = 8,
     block_s: int = 16,
@@ -439,13 +468,17 @@ def attn_block_decode(
     head groups: LN + q[/k/v] projection (weight column blocks — the
     fused Wqkv is indexed in place, never transposed) + cache write +
     masked attend (+ALiBi) + out-projection accumulate (+tanh gate) +
-    residual. Returns y or (y, k_cache', v_cache') with fused_qkv."""
+    residual. Returns y or (y, k_cache', v_cache') with fused_qkv.
+
+    layer_idx (scan decode): wq/wout/ln/scales/gate carry a leading L
+    axis, block-indexed via scalar prefetch [slot, layer]."""
     from .dense_stream import INTERPRET
 
     interpret = INTERPRET if interpret is None else interpret
     b, d = x.shape
     h, dh = heads, head_dim
     s_max = k_cache.shape[2]
+    stacked = layer_idx is not None
     g = head_block
     while h % g:
         g //= 2
@@ -458,52 +491,77 @@ def attn_block_decode(
         slopes3 = jnp.zeros((h, 1, 1), jnp.float32)
     else:
         slopes3 = jnp.asarray(slopes, jnp.float32).reshape(h, 1, 1)
-    slot1 = jnp.asarray(0 if slot is None else slot, jnp.int32).reshape(1)
+    slot1 = jnp.stack([
+        jnp.asarray(0 if slot is None else slot, jnp.int32).reshape(()),
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32)
+        .reshape(()),
+    ])
+
+    def sshape(shape):
+        return (None, *shape) if stacked else shape
+
+    def smap(f):
+        if stacked:
+            return lambda gg, slot: (slot[1], *f(gg))
+        return lambda gg, slot: f(gg)
+
+    def vec(v, dim):
+        v = jnp.asarray(v)
+        return v.reshape(-1, 1, dim) if stacked else v.reshape(1, dim)
 
     operands = [x, wq]
     in_specs = [
         pl.BlockSpec((b, d), lambda gg, slot: (0, 0)),
-        pl.BlockSpec((d, gdh), lambda gg, slot: (0, gg)),
+        pl.BlockSpec(sshape((d, gdh)), smap(lambda gg: (0, gg))),
     ]
     if fused_qkv:
         # same Wqkv array, shifted column-block index maps for k and v
         operands += [wq, wq]
         in_specs += [
-            pl.BlockSpec((d, gdh), lambda gg, slot: (0, n_groups + gg)),
-            pl.BlockSpec((d, gdh), lambda gg, slot: (0, 2 * n_groups + gg)),
+            pl.BlockSpec(sshape((d, gdh)),
+                         smap(lambda gg: (0, n_groups + gg))),
+            pl.BlockSpec(sshape((d, gdh)),
+                         smap(lambda gg: (0, 2 * n_groups + gg))),
         ]
     operands += [k_cache, v_cache, mask.astype(jnp.int32), slopes3, wout,
-                 jnp.asarray(ln_scale).reshape(1, d)]
+                 vec(ln_scale, d)]
     in_specs += [
         pl.BlockSpec((b, g, s_max, dh), lambda gg, slot: (0, gg, 0, 0)),
         pl.BlockSpec((b, g, s_max, dh), lambda gg, slot: (0, gg, 0, 0)),
         pl.BlockSpec((b, s_max), lambda gg, slot: (0, 0)),
         pl.BlockSpec((g, 1, 1), lambda gg, slot: (gg, 0, 0)),
-        pl.BlockSpec((gdh, d), lambda gg, slot: (gg, 0)),
-        pl.BlockSpec((1, d), lambda gg, slot: (0, 0)),
+        pl.BlockSpec(sshape((gdh, d)), smap(lambda gg: (gg, 0))),
+        pl.BlockSpec(sshape((1, d)), smap(lambda gg: (0, 0))),
     ]
     if wq_scale is not None:
-        ws = jnp.asarray(wq_scale, jnp.float32).reshape(1, -1)
+        ws = jnp.asarray(wq_scale, jnp.float32)
+        ws = ws.reshape(-1, 1, ws.shape[-1]) if stacked else ws.reshape(1, -1)
         operands.append(ws)
-        in_specs.append(pl.BlockSpec((1, gdh), lambda gg, slot: (0, gg)))
+        in_specs.append(
+            pl.BlockSpec(sshape((1, gdh)), smap(lambda gg: (0, gg)))
+        )
         if fused_qkv:
             operands += [ws, ws]
             in_specs += [
-                pl.BlockSpec((1, gdh),
-                             lambda gg, slot: (0, n_groups + gg)),
-                pl.BlockSpec((1, gdh),
-                             lambda gg, slot: (0, 2 * n_groups + gg)),
+                pl.BlockSpec(sshape((1, gdh)),
+                             smap(lambda gg: (0, n_groups + gg))),
+                pl.BlockSpec(sshape((1, gdh)),
+                             smap(lambda gg: (0, 2 * n_groups + gg))),
             ]
     if wout_scale is not None:
-        operands.append(jnp.asarray(wout_scale, jnp.float32).reshape(1, d))
-        in_specs.append(pl.BlockSpec((1, d), lambda gg, slot: (0, 0)))
+        operands.append(vec(wout_scale.astype(jnp.float32), d))
+        in_specs.append(pl.BlockSpec(sshape((1, d)), smap(lambda gg: (0, 0))))
     has_ln_bias = ln_bias is not None
     if has_ln_bias:
-        operands.append(jnp.asarray(ln_bias).reshape(1, d))
-        in_specs.append(pl.BlockSpec((1, d), lambda gg, slot: (0, 0)))
+        operands.append(vec(ln_bias, d))
+        in_specs.append(pl.BlockSpec(sshape((1, d)), smap(lambda gg: (0, 0))))
     if gate is not None:
-        operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
-        in_specs.append(pl.BlockSpec((1, 1), lambda gg, slot: (0, 0)))
+        operands.append(
+            jnp.asarray(gate, jnp.float32).reshape(-1, 1, 1)
+            if stacked
+            else jnp.asarray(gate, jnp.float32).reshape(1, 1)
+        )
+        in_specs.append(pl.BlockSpec(sshape((1, 1)), smap(lambda gg: (0, 0))))
 
     out_specs = [pl.BlockSpec((b, d), lambda gg, slot: (0, 0))]
     out_shape = [jax.ShapeDtypeStruct((b, d), x.dtype)]

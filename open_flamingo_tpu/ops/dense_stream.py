@@ -159,10 +159,16 @@ def _act_f32(h, act: Optional[str]):
 
 
 def _dense_kernel(
-    x_ref, w_ref, *rest,
+    *args,
     eps, act, clip, norm, has_wscale, has_ln, has_ln_bias, has_bias,
-    has_residual, has_gate, w_transposed=False,
+    has_residual, has_gate, w_transposed=False, stacked_w=False,
 ):
+    if stacked_w:
+        # scalar-prefetch layer index is consumed by the block index
+        # maps only; the kernel body sees layer-local blocks
+        _layer_ref, x_ref, w_ref, *rest = args
+    else:
+        x_ref, w_ref, *rest = args
     i = 0
     ws_ref = rest[i] if has_wscale else None
     i += has_wscale
@@ -222,6 +228,7 @@ def fused_dense(
     residual: Optional[jax.Array] = None,     # (B, N)
     gate: Optional[jax.Array] = None,         # scalar/(1,): *tanh(gate)
     w_transposed: bool = False,                # w is (N, K); y = x @ w.T
+    layer_idx=None,            # scalar int32: stacked-weight layer select
     block_n: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -232,49 +239,85 @@ def fused_dense(
     embedding table used as the LM head) without materializing its
     transpose. With int8 `w` + per-out-channel `w_scale`, the weight
     stream halves — the decode DMA floor (BASELINE.md roofline).
+
+    layer_idx (scan decode): every per-layer operand (w, w_scale, bias,
+    ln_scale/bias, gate) arrives with a leading L axis and the kernel's
+    block index maps select layer `layer_idx` directly from HBM via
+    scalar prefetch — no dynamic-slice materialization of the layer's
+    weights (the round-2 lax.scan decode regression, CLAUDE.md).
     """
     interpret = INTERPRET if interpret is None else interpret
     b, k = x.shape
+    stacked = layer_idx is not None
+    wl = w.shape[1:] if stacked else w.shape
     if w_transposed:
-        n, k2 = w.shape
+        n, k2 = wl
     else:
-        k2, n = w.shape
+        k2, n = wl
     assert k == k2, (x.shape, w.shape)
     block_n = min(block_n, n)
     # ragged N (e.g. a vocab that isn't lane-aligned) is fine: the last
     # block's out-of-bounds columns read garbage weights whose products
     # stay in that block's discarded output region (masked stores)
 
+    # Index-map conventions: with scalar prefetch the maps receive
+    # (grid_i, layer_ref); lead() prepends the layer pick for stacked
+    # operands, whose block shapes squeeze the L axis with None.
+    if stacked:
+        def smap(f):
+            return lambda i, L: (L[0], *f(i))
+
+        def umap(f):
+            return lambda i, L: f(i)
+    else:
+        def smap(f):
+            return lambda i: f(i)
+
+        def umap(f):
+            return lambda i: f(i)
+
+    def sshape(shape):
+        return (None, *shape) if stacked else shape
+
     operands = [x, w]
     in_specs = [
-        pl.BlockSpec((b, k), lambda i: (0, 0)),
-        pl.BlockSpec((block_n, k), lambda i: (i, 0))
+        pl.BlockSpec((b, k), umap(lambda i: (0, 0))),
+        pl.BlockSpec(sshape((block_n, k)), smap(lambda i: (i, 0)))
         if w_transposed
-        else pl.BlockSpec((k, block_n), lambda i: (0, i)),
+        else pl.BlockSpec(sshape((k, block_n)), smap(lambda i: (0, i))),
     ]
 
     def vec(v, dim):
-        return jnp.asarray(v).reshape(1, dim)
+        v = jnp.asarray(v)
+        return v.reshape(-1, 1, dim) if stacked else v.reshape(1, dim)
 
     if w_scale is not None:
         operands.append(vec(w_scale.astype(jnp.float32), n))
-        in_specs.append(pl.BlockSpec((1, block_n), lambda i: (0, i)))
+        in_specs.append(
+            pl.BlockSpec(sshape((1, block_n)), smap(lambda i: (0, i)))
+        )
     if ln_scale is not None:
         operands.append(vec(ln_scale, k))
-        in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec(sshape((1, k)), smap(lambda i: (0, 0))))
     if ln_bias is not None:
         assert ln_scale is not None
         operands.append(vec(ln_bias, k))
-        in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec(sshape((1, k)), smap(lambda i: (0, 0))))
     if bias is not None:
         operands.append(vec(bias, n))
-        in_specs.append(pl.BlockSpec((1, block_n), lambda i: (0, i)))
+        in_specs.append(
+            pl.BlockSpec(sshape((1, block_n)), smap(lambda i: (0, i)))
+        )
     if residual is not None:
         operands.append(residual)
-        in_specs.append(pl.BlockSpec((b, block_n), lambda i: (0, i)))
+        in_specs.append(pl.BlockSpec((b, block_n), umap(lambda i: (0, i))))
     if gate is not None:
-        operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
-        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0)))
+        operands.append(
+            jnp.asarray(gate, jnp.float32).reshape(-1, 1, 1)
+            if stacked
+            else jnp.asarray(gate, jnp.float32).reshape(1, 1)
+        )
+        in_specs.append(pl.BlockSpec(sshape((1, 1)), smap(lambda i: (0, 0))))
 
     kernel = functools.partial(
         _dense_kernel,
@@ -286,28 +329,49 @@ def fused_dense(
         has_residual=residual is not None,
         has_gate=gate is not None,
         w_transposed=w_transposed,
+        stacked_w=stacked,
     )
     from jax.experimental.pallas import tpu as pltpu
 
+    out_spec = pl.BlockSpec((b, block_n), umap(lambda i: (0, i)))
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(n, block_n),),
+            in_specs=in_specs,
+            out_specs=out_spec,
+        )
+        call_kw = dict(grid_spec=grid_spec)
+        pre = (jnp.asarray(layer_idx, jnp.int32).reshape(1),)
+    else:
+        call_kw = dict(
+            grid=(pl.cdiv(n, block_n),),
+            in_specs=in_specs,
+            out_specs=out_spec,
+        )
+        pre = ()
+
     return pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(n, block_n),),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, block_n), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
         # default scoped-vmem budget is 16MB; raise it so 4-8MB weight
         # blocks double-buffer (bigger DMAs -> closer to HBM line rate)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
-    )(*operands)
+        **call_kw,
+    )(*pre, *operands)
 
 
 def _mlp_kernel(
-    x_ref, w1_ref, w2_ref, *rest,
+    *args,
     eps, act, norm, has_ln, has_ln_bias, has_w1b, has_b1, has_b2,
     has_residual, has_gate, has_w1s, has_w2s, has_w1bs, k2_total,
-    block_k2,
+    block_k2, stacked_w=False,
 ):
+    if stacked_w:
+        _layer_ref, x_ref, w1_ref, w2_ref, *rest = args
+    else:
+        x_ref, w1_ref, w2_ref, *rest = args
     i = 0
     w1b_ref = rest[i] if has_w1b else None
     i += has_w1b
@@ -424,6 +488,7 @@ def fused_mlp(
     act: str = "gelu",
     residual: Optional[jax.Array] = None,      # (B, N)
     gate: Optional[jax.Array] = None,
+    layer_idx=None,            # scalar int32: stacked-weight layer select
     block_k2: int = 2048,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -433,58 +498,92 @@ def fused_mlp(
     Grid over the hidden axis: step i streams W1[:, i] and W2[i, :]
     blocks through one pipeline and accumulates partial products in an
     fp32 VMEM scratch — the (B, K2) intermediate never exists in HBM.
+
+    layer_idx: stacked-weight scan decode — per-layer operands carry a
+    leading L axis, selected in the block index maps via scalar
+    prefetch (see fused_dense).
     """
     b, k = x.shape
-    k1, k2 = w1.shape
-    k2b, n = w2.shape
+    stacked = layer_idx is not None
+    k1, k2 = w1.shape[1:] if stacked else w1.shape
+    k2b, n = w2.shape[1:] if stacked else w2.shape
     interpret = INTERPRET if interpret is None else interpret
     assert k1 == k and k2b == k2, (x.shape, w1.shape, w2.shape)
     block_k2 = min(block_k2, k2)
     # ragged K2 (k2 % block_k2 != 0) is handled by in-kernel lane
     # masking of the last block — see _mlp_kernel
 
+    if stacked:
+        def smap(f):
+            return lambda i, L: (L[0], *f(i))
+
+        def umap(f):
+            return lambda i, L: f(i)
+    else:
+        def smap(f):
+            return lambda i: f(i)
+
+        def umap(f):
+            return lambda i: f(i)
+
+    def sshape(shape):
+        return (None, *shape) if stacked else shape
+
     operands = [x, w1, w2]
     in_specs = [
-        pl.BlockSpec((b, k), lambda i: (0, 0)),
-        pl.BlockSpec((k, block_k2), lambda i: (0, i)),
-        pl.BlockSpec((block_k2, n), lambda i: (i, 0)),
+        pl.BlockSpec((b, k), umap(lambda i: (0, 0))),
+        pl.BlockSpec(sshape((k, block_k2)), smap(lambda i: (0, i))),
+        pl.BlockSpec(sshape((block_k2, n)), smap(lambda i: (i, 0))),
     ]
     if w1_gate is not None:
         operands.append(w1_gate)
-        in_specs.append(pl.BlockSpec((k, block_k2), lambda i: (0, i)))
+        in_specs.append(
+            pl.BlockSpec(sshape((k, block_k2)), smap(lambda i: (0, i)))
+        )
 
     def vec(v, dim):
-        return jnp.asarray(v).reshape(1, dim)
+        v = jnp.asarray(v)
+        return v.reshape(-1, 1, dim) if stacked else v.reshape(1, dim)
 
     if w1_scale is not None:
         operands.append(vec(w1_scale.astype(jnp.float32), k2))
-        in_specs.append(pl.BlockSpec((1, block_k2), lambda i: (0, i)))
+        in_specs.append(
+            pl.BlockSpec(sshape((1, block_k2)), smap(lambda i: (0, i)))
+        )
     if w2_scale is not None:
         operands.append(vec(w2_scale.astype(jnp.float32), n))
-        in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec(sshape((1, n)), smap(lambda i: (0, 0))))
     if w1_gate_scale is not None:
         assert w1_gate is not None
         operands.append(vec(w1_gate_scale.astype(jnp.float32), k2))
-        in_specs.append(pl.BlockSpec((1, block_k2), lambda i: (0, i)))
+        in_specs.append(
+            pl.BlockSpec(sshape((1, block_k2)), smap(lambda i: (0, i)))
+        )
     if ln_scale is not None:
         operands.append(vec(ln_scale, k))
-        in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec(sshape((1, k)), smap(lambda i: (0, 0))))
     if ln_bias is not None:
         assert ln_scale is not None
         operands.append(vec(ln_bias, k))
-        in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec(sshape((1, k)), smap(lambda i: (0, 0))))
     if b1 is not None:
         operands.append(vec(b1, k2))
-        in_specs.append(pl.BlockSpec((1, block_k2), lambda i: (0, i)))
+        in_specs.append(
+            pl.BlockSpec(sshape((1, block_k2)), smap(lambda i: (0, i)))
+        )
     if b2 is not None:
         operands.append(vec(b2, n))
-        in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec(sshape((1, n)), smap(lambda i: (0, 0))))
     if residual is not None:
         operands.append(residual)
-        in_specs.append(pl.BlockSpec((b, n), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec((b, n), umap(lambda i: (0, 0))))
     if gate is not None:
-        operands.append(jnp.asarray(gate, jnp.float32).reshape(1, 1))
-        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0)))
+        operands.append(
+            jnp.asarray(gate, jnp.float32).reshape(-1, 1, 1)
+            if stacked
+            else jnp.asarray(gate, jnp.float32).reshape(1, 1)
+        )
+        in_specs.append(pl.BlockSpec(sshape((1, 1)), smap(lambda i: (0, 0))))
 
     kernel = functools.partial(
         _mlp_kernel,
@@ -500,19 +599,38 @@ def fused_mlp(
         has_w2s=w2_scale is not None,
         has_w1bs=w1_gate_scale is not None,
         k2_total=k2, block_k2=block_k2,
+        stacked_w=stacked,
     )
     from jax.experimental.pallas import tpu as pltpu
 
+    out_spec = pl.BlockSpec((b, n), umap(lambda i: (0, 0)))
+    scratch = [pltpu.VMEM((b, n), jnp.float32)]
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(k2, block_k2),),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        call_kw = dict(grid_spec=grid_spec)
+        pre = (jnp.asarray(layer_idx, jnp.int32).reshape(1),)
+    else:
+        call_kw = dict(
+            grid=(pl.cdiv(k2, block_k2),),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        pre = ()
+
     return pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(k2, block_k2),),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, n), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
-    )(*operands)
+        **call_kw,
+    )(*pre, *operands)
 
 
 def reference_dense(

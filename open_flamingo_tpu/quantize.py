@@ -1,0 +1,126 @@
+"""Post-load int8 quantization of the decode-streamed LM weights.
+
+Single-token decode is weight-DMA-bound (~4.9 GB/token for OF-3B at
+bf16, BASELINE.md roofline); per-channel symmetric int8 halves the
+stream. This module builds a side-car `qparams` variable collection
+mirroring the `params` tree: for every decode-streamed matrix it stores
+the int8 copy + a per-out-channel fp32 scale, which the fused decode
+kernels (ops/dense_stream.py, ops/decode_layer.py) consume via
+`PDense.stream_weight()`. The bf16 originals stay in `params` — prefill,
+training, and every non-fused path are untouched, and quantization is
+opt-in per apply (just pass the augmented variables dict).
+
+Replaced torch path: none — the reference decodes fp32/bf16 only
+(open_flamingo/src/flamingo.py:124-175); this is TPU-roofline work.
+
+Usage:
+    variables = quantize_decode_params(variables)   # adds "qparams"
+    out = flamingo_generate(model, variables, ...)  # kernels go int8
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# PDense module names whose `kernel` streams through the fused decode
+# kernels, per family: mpt (Wqkv/out_proj/up_proj/down_proj), gptneox
+# (query_key_value/dense/dense_h_to_4h/dense_4h_to_h), llama
+# (q/k/v/o_proj, gate_proj/up_proj/down_proj), gptj (q/k/v/out_proj,
+# fc_in/fc_out), opt (q/k/v/out_proj, fc1/fc2), gated xattn
+# (to_q/to_out, ff fc1/fc2). `to_kv` is excluded: media K/V is
+# projected once at prefill, never streamed during decode.
+QUANT_PARENTS = frozenset({
+    "Wqkv", "out_proj", "up_proj", "down_proj",
+    "query_key_value", "dense", "dense_h_to_4h", "dense_4h_to_h",
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+    "fc_in", "fc_out",
+    "fc1", "fc2",
+    "to_q", "to_out",
+    "lm_head",
+})
+
+
+def quantize_weight(w, axis: int):
+    """Per-channel symmetric int8: reduce |w| over `axis` (the
+    in-features/reduction axis), keep every other axis as channel dims.
+    Returns (w_q int8 same shape, scale f32 with `axis` removed).
+    Pure-jnp so it runs on-device (jit-able: quantizing placed params
+    never copies them to the host) and accepts numpy too."""
+    w = jnp.asarray(w).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=axis)
+    scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    w_q = jnp.clip(
+        jnp.round(w / jnp.expand_dims(scale, axis)), -127, 127
+    ).astype(jnp.int8)
+    return w_q, scale
+
+
+def _quantize_lm_tree(tree: Dict[str, Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for name, sub in tree.items():
+        if not isinstance(sub, dict):
+            continue
+        if name in QUANT_PARENTS and "kernel" in sub:
+            k = sub["kernel"]
+            # kernels are (K, N) or scan-stacked (G, K, N); out-channels
+            # are the LAST axis -> reduce over the in-features axis -2
+            q, s = quantize_weight(k, axis=k.ndim - 2)
+            out[name] = {"kernel_q": q, "kernel_s": s}
+        elif name == "wte" and "embedding" in sub:
+            # tied-embedding logits stream the (V, D) table transposed:
+            # out-channels are the vocab rows -> reduce over D (last)
+            e = sub["embedding"]
+            q, s = quantize_weight(e, axis=e.ndim - 1)
+            out[name] = {"embedding_q": q, "embedding_s": s}
+        else:
+            child = _quantize_lm_tree(sub)
+            if child:
+                out[name] = child
+    return out
+
+
+def quantize_decode_params(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Add a `qparams` collection with int8 copies of the LM's
+    decode-streamed weights. `variables` is the dict `model.init`
+    returns ({"params": ...}); only the `lm` subtree is quantized (the
+    ViT/perceiver never run during decode steps). For scan_layers
+    models, call AFTER `to_scanned_layout` (stacked 3D kernels are
+    quantized per layer)."""
+    params = variables["params"]
+    lm = params.get("lm")
+    if lm is None:
+        raise ValueError("variables['params'] has no 'lm' subtree")
+    return {**variables, "qparams": {"lm": _quantize_lm_tree(lm)}}
+
+
+def dequantize_roundtrip(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Replace every quantizable weight with dequant(quant(w)) so the
+    int8 path is EXACT against the bf16 path on the same params — the
+    plumbing-correctness test harness (tests/test_quantize.py)."""
+
+    def walk(tree):
+        out = {}
+        for name, sub in tree.items():
+            if not isinstance(sub, dict):
+                out[name] = sub
+                continue
+            if name in QUANT_PARENTS and "kernel" in sub:
+                k = jnp.asarray(sub["kernel"])
+                q, s = quantize_weight(k, axis=k.ndim - 2)
+                deq = q.astype(jnp.float32) * jnp.expand_dims(s, k.ndim - 2)
+                out[name] = {**sub, "kernel": deq.astype(k.dtype)}
+            elif name == "wte" and "embedding" in sub:
+                e = jnp.asarray(sub["embedding"])
+                q, s = quantize_weight(e, axis=e.ndim - 1)
+                deq = q.astype(jnp.float32) * jnp.expand_dims(s, e.ndim - 1)
+                out[name] = {**sub, "embedding": deq.astype(e.dtype)}
+            else:
+                out[name] = walk(sub)
+        return out
+
+    params = dict(variables["params"])
+    params["lm"] = walk(params["lm"])
+    return {**variables, "params": params}

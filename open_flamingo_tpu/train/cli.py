@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upload each checkpoint as a wandb artifact "
                         "(train_utils.py:370-371)")
     p.add_argument("--wandb_project", default="open-flamingo-tpu")
+    p.add_argument("--wandb_entity", default=None,
+                   help="wandb entity (open_flamingo/train/train.py "
+                        "--wandb_entity)")
+    p.add_argument("--offline", action="store_true",
+                   help="run wandb in offline mode (train.py --offline)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of steps 2-5 here")
     return p
@@ -207,7 +212,12 @@ def main(argv: Optional[list] = None, *, model_override=None):
             import wandb as _wandb
 
             wandb = _wandb
-            wandb.init(project=args.wandb_project, name=args.run_name)
+            wandb.init(
+                project=args.wandb_project,
+                entity=args.wandb_entity,
+                name=args.run_name,
+                mode="offline" if args.offline else "online",
+            )
         except ImportError:
             print("wandb not installed; skipping wandb logging")
 

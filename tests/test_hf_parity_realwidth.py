@@ -18,6 +18,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy tier: run fast tier with -m 'not slow'
+
+
 from open_flamingo_tpu.convert.hf_lm import (
     config_from_hf,
     convert_lm_params,

@@ -174,3 +174,123 @@ def test_attn_block_decode_int8(rng):
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(kn, kw, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(vn, vw, rtol=1e-5, atol=1e-5)
+
+
+# ---- model-level plumbing tests -------------------------------------------
+
+
+def _tiny_family_model(family, rng):
+    from open_flamingo_tpu.models.decoders.common import DecoderConfig
+    from open_flamingo_tpu.models.flamingo import Flamingo, FlamingoConfig
+    from open_flamingo_tpu.models.vit import VisionConfig
+
+    VOCAB, MEDIA, EOC = 128, 3, 4
+    vis = VisionConfig(
+        image_size=14, patch_size=7, hidden_size=24, num_layers=1,
+        num_heads=2, intermediate_size=32,
+    )
+    lm = {
+        "mpt": DecoderConfig(
+            family="mpt", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+            num_heads=4, intermediate_size=64, alibi=True,
+            attention_bias=False, ln_no_bias=True, clip_qkv=6.0,
+        ),
+        "gptneox": DecoderConfig(
+            family="gptneox", vocab_size=VOCAB, hidden_size=32,
+            num_layers=2, num_heads=4, intermediate_size=64,
+            rotary_pct=0.25, tie_word_embeddings=False,
+        ),
+        "llama": DecoderConfig(
+            family="llama", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+            num_heads=4, intermediate_size=64, attention_bias=False,
+            tie_word_embeddings=False, hidden_act="silu",
+            use_parallel_residual=False,
+        ),
+        "gptj": DecoderConfig(
+            family="gptj", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+            num_heads=4, intermediate_size=64, rotary_dim=4,
+            tie_word_embeddings=False, lm_head_bias=True,
+        ),
+        "opt": DecoderConfig(
+            family="opt", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+            num_heads=4, intermediate_size=64,
+        ),
+    }[family]
+    cfg = FlamingoConfig(
+        vision=vis, lm=lm, media_token_id=MEDIA, eoc_token_id=EOC,
+        cross_attn_every_n=1, num_vis_latents=4, perceiver_depth=1,
+        perceiver_heads=2, perceiver_dim_head=8,
+    )
+    model = Flamingo(cfg=cfg)
+    B, T = 2, 6
+    vision_x = jnp.asarray(rng.normal(size=(B, 1, 1, 14, 14, 3)), jnp.float32)
+    ids = rng.integers(7, VOCAB, size=(B, T))
+    ids[:, 0] = MEDIA
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    return model, params, vision_x, ids, mask
+
+
+@pytest.mark.parametrize(
+    "family", ["mpt", "gptneox", "llama", "gptj", "opt"]
+)
+def test_generate_int8_matches_roundtripped_bf16(rng, family):
+    """End-to-end plumbing: with weights replaced by dequant(quant(w)),
+    the int8 fused decode must produce the same greedy tokens as the
+    full-precision fused decode over the same (round-tripped) params —
+    the quantization grid is exact, so only fp32 rounding differs."""
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.ops import dense_stream
+    from open_flamingo_tpu.quantize import (
+        dequantize_roundtrip,
+        quantize_decode_params,
+    )
+
+    model, params, vision_x, ids, mask = _tiny_family_model(family, rng)
+    params_rt = dequantize_roundtrip(params)
+    variables_q = quantize_decode_params(params_rt)
+    gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=0,
+                               eos_token_id=-1)
+
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    try:
+        out_ref = flamingo_generate(
+            model, params_rt, vision_x, ids, mask, gen_cfg
+        )
+        out_q = flamingo_generate(
+            model, variables_q, vision_x, ids, mask, gen_cfg
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_q))
+
+
+def test_int8_quality_drift_small(rng):
+    """On raw (non-roundtripped) gaussian weights, int8 decode logits
+    must stay close to the bf16 fused logits (weight-only per-channel
+    int8 is near-lossless)."""
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.ops import dense_stream
+    from open_flamingo_tpu.quantize import quantize_decode_params
+
+    model, params, vision_x, ids, mask = _tiny_family_model("mpt", rng)
+    variables_q = quantize_decode_params(params)
+    gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=0,
+                               eos_token_id=-1)
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    try:
+        out_ref = np.asarray(flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        ))
+        out_q = np.asarray(flamingo_generate(
+            model, variables_q, vision_x, ids, mask, gen_cfg
+        ))
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+    match = (out_ref == out_q).mean()
+    assert match >= 0.75, (match, out_ref, out_q)

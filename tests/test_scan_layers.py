@@ -90,3 +90,98 @@ def test_scan_gradients_match(rng):
     for i in range(cfg.lm.num_layers):
         want = np.asarray(gu[f"xattn_{i}"]["attn"]["to_q"]["kernel"])
         np.testing.assert_allclose(got_x[i], want, atol=3e-5)
+
+
+@pytest.mark.parametrize("every_n", [1, 2])
+def test_scan_fused_generate_matches_unrolled(rng, every_n):
+    """The stacked-weight scan decode engine (models/scan_decode.py)
+    must produce the same greedy tokens as the unrolled standard path."""
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.ops import dense_stream
+
+    base = tiny_flamingo()
+    cfg = dataclasses.replace(base.cfg, cross_attn_every_n=every_n)
+    unrolled = Flamingo(cfg=cfg)
+    scanned = Flamingo(cfg=dataclasses.replace(cfg, scan_layers=True))
+    vision_x, ids = make_batch(rng)
+    mask = jnp.ones_like(ids)
+    u_vars = unrolled.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    s_vars = _scan_variables(u_vars, unrolled)
+    gen_cfg = GenerationConfig(max_new_tokens=5, pad_token_id=0,
+                               eos_token_id=-1)
+    ref = np.asarray(
+        flamingo_generate(unrolled, u_vars, vision_x, ids, mask, gen_cfg)
+    )
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    try:
+        got = np.asarray(
+            flamingo_generate(scanned, s_vars, vision_x, ids, mask, gen_cfg)
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("family", ["gptneox", "llama", "gptj", "opt"])
+def test_scan_fused_generate_families(rng, family):
+    from test_quantize import _tiny_family_model
+
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.ops import dense_stream
+
+    model, u_vars, vision_x, ids, mask = _tiny_family_model(family, rng)
+    scanned = Flamingo(cfg=dataclasses.replace(model.cfg, scan_layers=True))
+    s_vars = _scan_variables(u_vars, model)
+    gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=0,
+                               eos_token_id=-1)
+    ref = np.asarray(
+        flamingo_generate(model, u_vars, vision_x, ids, mask, gen_cfg)
+    )
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    try:
+        got = np.asarray(
+            flamingo_generate(scanned, s_vars, vision_x, ids, mask, gen_cfg)
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_scan_fused_generate_int8(rng):
+    """scan engine x int8 streaming: round-tripped weights decode to the
+    same tokens quantized or not."""
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.ops import dense_stream
+    from open_flamingo_tpu.quantize import (
+        dequantize_roundtrip,
+        quantize_decode_params,
+    )
+
+    base = tiny_flamingo()
+    scanned = Flamingo(cfg=dataclasses.replace(base.cfg, scan_layers=True))
+    vision_x, ids = make_batch(rng)
+    mask = jnp.ones_like(ids)
+    u_vars = base.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    s_vars = _scan_variables(u_vars, base)
+    s_vars = dequantize_roundtrip(s_vars)
+    s_vars_q = quantize_decode_params(s_vars)
+    gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=0,
+                               eos_token_id=-1)
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    try:
+        ref = np.asarray(
+            flamingo_generate(scanned, s_vars, vision_x, ids, mask, gen_cfg)
+        )
+        got = np.asarray(
+            flamingo_generate(scanned, s_vars_q, vision_x, ids, mask,
+                              gen_cfg)
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+    np.testing.assert_array_equal(got, ref)
