@@ -256,6 +256,19 @@ def singularize(word: str) -> str:
 
 # ---- WordNet-morphy-like verb lemmatizer for -ing forms --------------------
 
+# -ing words that are NOT verb gerunds (nltk would tag NN and WordNet
+# morphy('v') finds no verb lemma -> the official pipeline passes them
+# through UNCHANGED). Without this list the suffix heuristic would strip
+# a non-existent verb stem ("ceiling" -> "ceil").
+_ING_NOUNS = {
+    "ceiling", "evening", "sibling", "duckling", "dumpling", "darling",
+    "herring", "stocking", "lightning", "inning", "shilling",
+    "gosling", "seedling", "sapling", "hatchling", "fledgling",
+    "nestling", "yearling", "earring", "unwitting", "sterling",
+    "viking", "pudding",  # pudding also in the override table
+    "something", "anything", "nothing", "everything", "thing",
+}
+
 # common verbs whose base form ends in e: stands in for the WordNet verb
 # lexicon lookup in morphy's ing->e substitution.
 _E_VERBS = {
@@ -269,9 +282,21 @@ _E_VERBS = {
     "breathe", "tie", "die", "lie", "charge", "change", "lunge",
     "plunge", "lounge", "graze", "gaze", "blaze", "freeze", "sneeze",
     "squeeze", "wade", "trade", "invade", "parade", "decorate",
-    "celebrate", "skateboarde",  # never hit; keeps set non-ambiguous
+    "celebrate",
+    # extension (round 3): more common e-final verbs likely in VQA
+    # answers — public vocabulary standing in for the WordNet lexicon
+    "bounce", "brake", "carve", "chase", "circle", "confuse", "cruise",
+    "cycle", "date", "describe", "dodge", "doze", "drape", "dribble",
+    "gargle", "giggle", "grate", "handle", "hurdle", "juggle", "lace",
+    "leave", "merge", "mingle", "name", "nibble", "operate", "paddle",
+    "paste", "phone", "picture", "pile", "place", "prepare", "provide",
+    "recline", "remove", "rinse", "rotate", "scrape", "settle", "shade",
+    "slice", "smile", "snore", "store", "style", "tackle", "taste",
+    "tickle", "time", "type", "wiggle", "wrestle", "write", "observe",
+    "balance", "juice", "measure", "microwave", "organize", "practice",
+    "recycle", "salute", "scramble", "serve", "shake", "snooze",
+    "sparkle", "stage", "tangle", "trace", "tumble", "wave", "whistle",
 }
-_E_VERBS.discard("skateboarde")
 
 _VOWELS = set("aeiou")
 
@@ -280,6 +305,9 @@ def _lemmatize_ing(word: str) -> str:
     """morphy verb substitutions ing->'' and ing->'e', choosing the
     candidate a WordNet lexicon lookup would accept."""
     if len(word) <= 4 or not word.endswith("ing"):
+        return word
+    if word in _ING_NOUNS:
+        # no verb lemma in WordNet -> official pipeline keeps the word
         return word
     base = word[:-3]
     if base + "e" in _E_VERBS:

@@ -85,10 +85,11 @@ class LlamaBlock(nn.Module):
         from ...ops.attention import cached_self_attention
         from ...ops.dense_stream import use_fused_decode
 
-        if use_fused_decode(t, attn.cached) and layer_kv is not None and n_rep == 1:
-            # decode (MHA): RMS+q/k/v, write+attend+out+residual, and a
+        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+            # decode: RMS+q/k/v, write+attend+out+residual, and a
             # SwiGLU MLP (gate & up stream through one pipeline) as
-            # weight-streaming kernels. GQA (n_rep>1) falls through.
+            # weight-streaming kernels. GQA streams the grouped KV cache
+            # via head index maps (attend_out_decode n_rep support).
             from ...ops.decode_layer import attend_out_decode
             from ...ops.dense_stream import fused_dense, fused_mlp
 

@@ -191,8 +191,6 @@ class FlamingoLM(nn.Module):
             return False
         if media is not None and media_cache is None:
             return False
-        if self.cfg.family == "llama" and self.cfg.kv_heads != self.cfg.num_heads:
-            return False
         return True
 
     @nn.compact

@@ -136,7 +136,7 @@ def _block_decode(
         return y, LayerKV(k=kc, v=vc)
 
     if fam == "llama":
-        assert cfg.kv_heads == nh, "GQA falls back to the flax-scan path"
+        h_kv = cfg.kv_heads
         ln_kw = dict(eps=cfg.layer_norm_eps, norm="rms", layer_idx=li)
         w_q, s_q = _w(p, qp, "q_proj", dtype)
         w_k, s_k = _w(p, qp, "k_proj", dtype)
@@ -147,8 +147,8 @@ def _block_decode(
         k = fused_dense(x2, w_k, w_scale=s_k, ln_scale=ln1, **ln_kw)
         v = fused_dense(x2, w_v, w_scale=s_v, ln_scale=ln1, **ln_kw)
         q = q.reshape(b, nh, hd)
-        k = k.reshape(b, nh, hd)
-        v = v.reshape(b, nh, hd)
+        k = k.reshape(b, h_kv, hd)
+        v = v.reshape(b, h_kv, hd)
         cos, sin = rope_cos_sin(attn.position_ids, hd, cfg.rope_theta)
         q, k = apply_rope(q[:, None], k[:, None], cos, sin)
         x2, kc, vc = attend_out_decode(

@@ -176,6 +176,11 @@ def attend_out_decode(
     """One-launch attention tail. Returns y (B, D), or
     (y, k_cache', v_cache') when k_new/v_new are given.
 
+    GQA (llama num_kv_heads < num_heads): k/v caches and k_new/v_new
+    carry H_kv heads; query head hh reads kv head hh // n_rep via the
+    block index maps — no repeat_kv materialization, the grouped cache
+    streams once per query-head group.
+
     layer_idx (scan decode): wout/wout_scale/bias/gate carry a leading
     L axis; the block index maps select the layer via scalar prefetch
     (packed as [slot, layer]) — no dynamic-slice weight copies."""
@@ -183,6 +188,9 @@ def attend_out_decode(
 
     interpret = INTERPRET if interpret is None else interpret
     b, h, dh = q.shape
+    h_kv = k_cache.shape[1]
+    assert h % h_kv == 0, (h, h_kv)
+    n_rep = h // h_kv
     s_max = k_cache.shape[2]
     d = wout.shape[-1]
     update = k_new is not None
@@ -217,8 +225,10 @@ def attend_out_decode(
     ]
     in_specs = [
         pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
-        pl.BlockSpec((b, 1, s_max, dh), lambda hh, slot: (0, hh, 0, 0)),
-        pl.BlockSpec((b, 1, s_max, dh), lambda hh, slot: (0, hh, 0, 0)),
+        pl.BlockSpec((b, 1, s_max, dh),
+                     lambda hh, slot: (0, hh // n_rep, 0, 0)),
+        pl.BlockSpec((b, 1, s_max, dh),
+                     lambda hh, slot: (0, hh // n_rep, 0, 0)),
         pl.BlockSpec((b, s_max), lambda hh, slot: (0, 0)),
         pl.BlockSpec((1, 1, 1), lambda hh, slot: (hh, 0, 0)),
         pl.BlockSpec(sshape((1, dh, d)), smap(lambda hh: (hh, 0, 0))),
@@ -226,8 +236,10 @@ def attend_out_decode(
     if update:
         operands += [k_new[:, :, None, :], v_new[:, :, None, :]]
         in_specs += [
-            pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
-            pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
+            pl.BlockSpec((b, 1, 1, dh),
+                         lambda hh, slot: (0, hh // n_rep, 0, 0)),
+            pl.BlockSpec((b, 1, 1, dh),
+                         lambda hh, slot: (0, hh // n_rep, 0, 0)),
         ]
 
     def vec(v, dim):
@@ -256,13 +268,15 @@ def attend_out_decode(
     aliases = {}
     if update:
         out_specs += [
+            # GQA: n_rep query heads revisit the same kv-head block;
+            # the repeated writes are identical (benign)
             pl.BlockSpec(
                 (b, 1, block_s, dh),
-                lambda hh, slot: (0, hh, slot[0] // block_s, 0),
+                lambda hh, slot: (0, hh // n_rep, slot[0] // block_s, 0),
             ),
             pl.BlockSpec(
                 (b, 1, block_s, dh),
-                lambda hh, slot: (0, hh, slot[0] // block_s, 0),
+                lambda hh, slot: (0, hh // n_rep, slot[0] // block_s, 0),
             ),
         ]
         out_shape += [
@@ -616,7 +630,8 @@ def reference_attend_out(
     q, k, v, mask, wout, *, scale, k_new=None, v_new=None, slot=None,
     slopes=None, wout_scale=None, bias=None, gate=None, residual=None,
 ):
-    """jnp semantics mirror (parity tests). wout: (H, Dh, D)."""
+    """jnp semantics mirror (parity tests). wout: (H, Dh, D). GQA:
+    k/v may carry H_kv = H / n_rep heads."""
     if wout.dtype == jnp.int8:
         wout = wout.astype(q.dtype)
     b, h, dh = q.shape
@@ -624,6 +639,11 @@ def reference_attend_out(
     if k_new is not None:
         k = k.at[:, :, slot].set(k_new.astype(k.dtype))
         v = v.at[:, :, slot].set(v_new.astype(v.dtype))
+    kv_out = (k, v)
+    n_rep = h // k.shape[1]
+    if n_rep > 1:
+        k = jnp.repeat(k, n_rep, axis=1)
+        v = jnp.repeat(v, n_rep, axis=1)
     logits = jnp.einsum(
         "bhd,bhsd->bhs", q.astype(jnp.float32) * scale,
         k.astype(jnp.float32),
@@ -649,5 +669,5 @@ def reference_attend_out(
         y = y + residual.astype(y.dtype)
     out = y.astype(q.dtype)
     if k_new is not None:
-        return out, k, v
+        return out, kv_out[0], kv_out[1]
     return out

@@ -1,5 +1,14 @@
 #!/bin/bash
 # Eval launcher (parity with the reference's scripts/run_eval.sh).
+#
+# RICES (--rices): retrieval needs REAL CLIP ViT-B-32 weights via
+# --rices_vision_encoder_pretrained (a local .pt/HF dir — no network in
+# this env). Without weights the retrieval encoder is RANDOMLY
+# INITIALIZED and demo selection is meaningless; the harness prints a
+# warning but still runs (mechanics-only mode for tests).
+#
+# int8 decode: add --int8_decode for int8 weight-streaming generation
+# (halves the per-token weight DMA; prefill/scoring stay bf16).
 set -euo pipefail
 
 python -m open_flamingo_tpu.eval.evaluate \

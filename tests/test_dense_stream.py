@@ -416,3 +416,98 @@ def test_fused_mlp_ragged_k2_swiglu(data):
     )
     want = reference_mlp(x, w1, w2, w1_gate=w1g, act="silu")
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_attend_out_decode_gqa(rng):
+    """Grouped-query attend: query head hh reads kv head hh // n_rep
+    straight from the grouped cache (no repeat_kv materialization)."""
+    from open_flamingo_tpu.ops.decode_layer import (
+        attend_out_decode,
+        reference_attend_out,
+    )
+
+    b, h, h_kv, dh, d, s = 3, 8, 2, 16, 64, 32
+    q = jnp.asarray(rng.normal(size=(b, h, dh)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(b, h_kv, s, dh)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(b, h_kv, s, dh)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(b, h_kv, dh)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(b, h_kv, dh)), jnp.float32)
+    mask = np.ones((b, s), np.int32)
+    mask[:, 20:] = 0
+    mask[:, 5] = 1
+    mask = jnp.asarray(mask)
+    wout = jnp.asarray(rng.normal(size=(h, dh, d)) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+
+    got, k2, v2 = attend_out_decode(
+        q, kc, vc, mask, wout, scale=0.25, k_new=kn, v_new=vn, slot=5,
+        residual=res, interpret=True,
+    )
+    want, kw, vw = reference_attend_out(
+        q, kc, vc, mask, wout, scale=0.25, k_new=kn, v_new=vn, slot=5,
+        residual=res,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    np.testing.assert_allclose(k2, kw, atol=1e-6)
+    np.testing.assert_allclose(v2, vw, atol=1e-6)
+
+
+def test_generate_fused_decode_llama_gqa(rng):
+    """llama GQA (n_rep=2) now routes through the fused decode path:
+    token equality vs the standard path."""
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.models.decoders.common import DecoderConfig
+    from open_flamingo_tpu.models.flamingo import Flamingo, FlamingoConfig
+    from open_flamingo_tpu.models.vit import VisionConfig
+    from open_flamingo_tpu.ops import dense_stream
+
+    VOCAB, MEDIA, EOC = 128, 3, 4
+    vis = VisionConfig(
+        image_size=14, patch_size=7, hidden_size=24, num_layers=1,
+        num_heads=2, intermediate_size=32,
+    )
+    lm = DecoderConfig(
+        family="llama", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+        num_heads=4, num_kv_heads=2, intermediate_size=64,
+        attention_bias=False, tie_word_embeddings=False,
+        hidden_act="silu", use_parallel_residual=False,
+    )
+    cfg = FlamingoConfig(
+        vision=vis, lm=lm, media_token_id=MEDIA, eoc_token_id=EOC,
+        cross_attn_every_n=1, num_vis_latents=4, perceiver_depth=1,
+        perceiver_heads=2, perceiver_dim_head=8,
+    )
+    model = Flamingo(cfg=cfg)
+    B, T = 2, 6
+    vision_x = jnp.asarray(rng.normal(size=(B, 1, 1, 14, 14, 3)), jnp.float32)
+    ids = rng.integers(7, VOCAB, size=(B, T))
+    ids[:, 0] = MEDIA
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=0,
+                               eos_token_id=-1)
+
+    out_std = flamingo_generate(model, params, vision_x, ids, mask, gen_cfg)
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    try:
+        out_fused = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        )
+        # scan engine with GQA too
+        import dataclasses as _dc
+
+        from test_scan_layers import _scan_variables
+
+        scanned = Flamingo(cfg=_dc.replace(cfg, scan_layers=True))
+        s_vars = _scan_variables(params, model)
+        out_scan = flamingo_generate(
+            scanned, s_vars, vision_x, ids, mask, gen_cfg
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+
+    np.testing.assert_array_equal(np.asarray(out_std), np.asarray(out_fused))
+    np.testing.assert_array_equal(np.asarray(out_std), np.asarray(out_scan))

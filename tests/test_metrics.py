@@ -192,3 +192,56 @@ def test_roc_auc():
     assert roc_auc(labels, scores) == 1.0
     assert roc_auc(labels, [0.1, 0.2, 0.8, 0.9]) == 0.0
     assert abs(roc_auc([1, 0], [0.5, 0.5]) - 0.5) < 1e-9
+
+
+def test_ok_vqa_stemmer_non_override_corpus():
+    """VERDICT r2 #7: bound the stemmer's divergence from the official
+    nltk+inflection pipeline on words OUTSIDE the manual-override table.
+    Expected values are the official pipeline's outputs: -ing words get
+    WordNet verb lemmas (doubling via verb.exc, ing->e via the lexicon,
+    non-verb -ing nouns pass through unchanged), NNS plurals get
+    inflection.singularize."""
+    from open_flamingo_tpu.eval.metrics.ok_vqa_stem import stem_answer
+
+    golden = {
+        # -ing -> plain stem (ing -> "")
+        "walking": "walk", "standing": "stand", "jumping": "jump",
+        "sleeping": "sleep", "cooking": "cook", "playing": "play",
+        "reading": "read", "fishing": "fish", "drinking": "drink",
+        "snowboarding": "snowboard", "skateboarding": "skateboard",
+        "bowling": "bowl", "boxing": "box", "grilling": "grill",
+        "surfboarding": "surfboard", "talking": "talk",
+        "painting": "paint", "drawing": "draw", "throwing": "throw",
+        "catching": "catch", "kicking": "kick", "climbing": "climb",
+        "laughing": "laugh", "singing": "sing", "feeding": "feed",
+        # -ing with consonant doubling (WordNet verb.exc entries)
+        "swimming": "swim", "shopping": "shop", "jogging": "jog",
+        "cutting": "cut", "spinning": "spin", "clapping": "clap",
+        "petting": "pet", "batting": "bat", "grabbing": "grab",
+        # -ing -> e-final base (WordNet lexicon ing->e)
+        "waving": "wave", "smiling": "smile", "skating": "skate",
+        "racing": "race", "baking": "bake", "hiking": "hike",
+        "biking": "bike", "typing": "type", "juggling": "juggle",
+        "whistling": "whistle", "skiing": "ski", "dancing": "dance",
+        "sliding": "slide", "diving": "dive", "gliding": "glide",
+        # -ing nouns with no verb lemma: official pipeline keeps them
+        "ceiling": "ceiling", "evening": "evening", "sibling": "sibling",
+        "duckling": "duckling", "lightning": "lightning",
+        "inning": "inning", "stocking": "stocking",
+        "herring": "herring", "dumpling": "dumpling",
+        # NNS plurals -> inflection.singularize
+        "dogs": "dog", "cats": "cat", "horses": "horse",
+        "benches": "bench", "knives": "knife", "babies": "baby",
+        "pizzas": "pizza", "carrots": "carrot", "glasses": "glass",
+        "boxes": "box", "wolves": "wolf", "cherries": "cherry",
+        "shoes": "shoe", "buses": "bus", "watches": "watch",
+        # words the official pipeline leaves alone
+        "tennis": "tennis", "grass": "grass", "chess": "chess",
+        "delicious": "delicious", "red": "red", "two": "two",
+    }
+    diverged = {
+        w: (stem_answer(w), want)
+        for w, want in golden.items()
+        if stem_answer(w) != want
+    }
+    assert not diverged, diverged
