@@ -33,7 +33,7 @@ def main():
     model = Flamingo(cfg=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     T_TXT, NEW = 32, 32
 
-    def measure(B, int8=False):
+    def measure(B, int8=False, new=NEW):
         vision_x = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
         ids = jnp.zeros((B, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
         mask = jnp.ones((B, T_TXT), jnp.int32)
@@ -53,7 +53,7 @@ def main():
 
             params = jax.jit(quantize_decode_params)(params)
         gen_cfg = GenerationConfig(
-            max_new_tokens=NEW, pad_token_id=1, eos_token_id=cfg.eoc_token_id
+            max_new_tokens=new, pad_token_id=1, eos_token_id=cfg.eoc_token_id
         )
         jitted = jax.jit(
             lambda p, vx, i, m: flamingo_generate(model, p, vx, i, m, gen_cfg)
@@ -69,7 +69,7 @@ def main():
         dt = sorted(times)[len(times) // 2]
         return {
             "batch": B,
-            "tokens_per_sec_per_chip": round(B * NEW / dt, 2),
+            "tokens_per_sec_per_chip": round(B * new / dt, 2),
             "p50_per_image_latency_s": round(dt / B, 4),
         }
 
@@ -77,7 +77,15 @@ def main():
     small = measure(8)    # the eval harness's batch size
     serve_q = measure(32, int8=True)
     small_q = measure(8, int8=True)
+    one_q = measure(32, int8=True, new=1)   # vision+prefill(+1 step)
     tokens_per_sec = serve_q["tokens_per_sec_per_chip"]
+
+    # amortized share of the per-batch vision encode + prefill in the
+    # B=32 int8 generate (VERDICT r2 #3: report the vision/prefill share)
+    dt32 = 32 * NEW / serve_q["tokens_per_sec_per_chip"]
+    dt1 = 32 * 1 / one_q["tokens_per_sec_per_chip"]
+    step = max((dt32 - dt1) / (NEW - 1), 1e-9)
+    vision_prefill_s = max(dt1 - step, 0.0)
 
     detail = {
         "prompt_len": T_TXT,
@@ -87,6 +95,8 @@ def main():
         "batch_8": small,
         "batch_32_int8": serve_q,
         "batch_8_int8": small_q,
+        "vision_prefill_s_b32": round(vision_prefill_s, 4),
+        "vision_prefill_share_b32_int8": round(vision_prefill_s / dt32, 3),
     }
     try:
         detail["train_step"] = bench_train_step()

@@ -83,6 +83,11 @@ def _attention_kernel(
         s = s + slope * (k_pos - (kv_len - 1)).astype(jnp.float32)
 
         mask = pad_ref[0, 0][None, :] > 0
+        if kv_len % block_k != 0:
+            # ragged S (e.g. the ViT's 257 = 2x128 + 1): the last K
+            # block's out-of-bounds K/V/pad reads are undefined — AND in
+            # the bound and zero the OOB V rows (p=0 times NaN is NaN)
+            mask = mask & (k_pos < kv_len)
         if causal:
             q_pos = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -100,6 +105,11 @@ def _attention_kernel(
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
         v = v_ref[0].astype(jnp.float32)
+        if kv_len % block_k != 0:
+            vrow = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, v.shape, 0
+            )
+            v = jnp.where(vrow < kv_len, v, 0.0)
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )

@@ -178,3 +178,32 @@ def test_dispatcher_flash_path_matches_einsum(rng):
     np.testing.assert_allclose(
         np.asarray(fl)[valid], np.asarray(ein)[valid], atol=2e-5
     )
+
+
+def test_flash_ragged_s_vit_shape(rng):
+    """Ragged S (the ViT's 257-style non-divisible KV length, no
+    padding): the last K block's OOB reads must be bound-masked
+    in-kernel (same OOB class as ADVICE r2 decode_attention)."""
+    tq = s = 27  # 27 % 8 != 0 -> ragged q AND k blocks
+    q, k, v, padj = _inputs(rng, tq, s)
+    slopes = jnp.zeros((BH, 1), jnp.float32)
+    want = reference_attention(
+        q, k, v, padj, slopes, 0, causal=False, scale=0.25
+    )
+    got = flash_attention(
+        q, k, v, padj, slopes, jnp.int32(0), False, 0.25, 8, 8, True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_ragged_s_causal(rng):
+    tq = s = 21
+    q, k, v, padj = _inputs(rng, tq, s)
+    slopes = jnp.zeros((BH, 1), jnp.float32)
+    want = reference_attention(
+        q, k, v, padj, slopes, 0, causal=True, scale=0.5
+    )
+    got = flash_attention(
+        q, k, v, padj, slopes, jnp.int32(0), True, 0.5, 8, 8, True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
