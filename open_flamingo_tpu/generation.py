@@ -117,12 +117,21 @@ def _gather_beams(tree, indices, batch, beams):
         tree = tree.replace(media=None)
 
     def g(x):
-        if not hasattr(x, "shape") or x.ndim == 0 or x.shape[0] != batch * beams:
+        if not hasattr(x, "shape") or x.ndim == 0:
             return x
-        xr = x.reshape(batch, beams, *x.shape[1:])
-        idx = indices.reshape(batch, beams, *([1] * (x.ndim - 1)))
-        out = jnp.take_along_axis(xr, idx, axis=1)
-        return out.reshape(batch * beams, *x.shape[1:])
+        if x.shape[0] == batch * beams:
+            xr = x.reshape(batch, beams, *x.shape[1:])
+            idx = indices.reshape(batch, beams, *([1] * (x.ndim - 1)))
+            out = jnp.take_along_axis(xr, idx, axis=1)
+            return out.reshape(batch * beams, *x.shape[1:])
+        if x.ndim >= 2 and x.shape[1] == batch * beams:
+            # group-stacked scan cache (G, B*K, ...): beams on axis 1
+            gdim = x.shape[0]
+            xr = x.reshape(gdim, batch, beams, *x.shape[2:])
+            idx = indices.reshape(1, batch, beams, *([1] * (x.ndim - 2)))
+            out = jnp.take_along_axis(xr, idx, axis=2)
+            return out.reshape(gdim, batch * beams, *x.shape[2:])
+        return x
 
     out = jax.tree.map(g, tree)
     if media is not None:
@@ -279,8 +288,15 @@ def flamingo_generate(
 
     # K/V cache in the model's compute dtype: decode is cache-bandwidth
     # bound, fp32 K/V would double the HBM traffic of every step.
+    # scan models keep the cache group-stacked end-to-end (no per-step
+    # stack/unstack copies in the stacked-weight decode engine).
+    scan_groups = None
+    if model.cfg.scan_layers:
+        n = model.cfg.cross_attn_every_n or 1
+        scan_groups = model.cfg.lm.num_layers // n
     cache = KVCache.create(
-        model.cfg.lm, lang_x.shape[0], cache_len, dtype=model.dtype
+        model.cfg.lm, lang_x.shape[0], cache_len, dtype=model.dtype,
+        scan_groups=scan_groups,
     )
     # prefill; capture each xattn layer's projected media K/V so decode
     # steps skip the (static) media projection entirely.

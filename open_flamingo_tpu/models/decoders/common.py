@@ -87,19 +87,37 @@ class KVCache:
     media: Optional[Tuple[LayerKV, ...]] = None
 
     @property
+    def stacked(self) -> bool:
+        """Scan layout: layers is a tuple of `n` group-stacked LayerKV
+        (G, B, H, S, Dh) instead of num_layers per-layer (B, H, S, Dh)
+        entries — kept stacked end-to-end so the decode loop never pays
+        per-step stack/unstack copies."""
+        return self.layers[0].k.ndim == 5
+
+    @property
     def max_length(self) -> int:
-        return self.layers[0].k.shape[2]
+        return self.layers[0].k.shape[3 if self.stacked else 2]
 
     @staticmethod
     def create(
-        cfg: DecoderConfig, batch: int, max_length: int, dtype: Dtype = jnp.float32
+        cfg: DecoderConfig, batch: int, max_length: int,
+        dtype: Dtype = jnp.float32,
+        scan_groups: Optional[int] = None,
     ) -> "KVCache":
-        layer = LayerKV(
-            k=jnp.zeros((batch, cfg.kv_heads, max_length, cfg.head_dim), dtype),
-            v=jnp.zeros((batch, cfg.kv_heads, max_length, cfg.head_dim), dtype),
-        )
+        """scan_groups (scan_layers models): number of lax.scan groups
+        G = num_layers // cross_attn_every_n; layers become
+        cross_attn_every_n stacked (G, B, H, S, Dh) entries."""
+        shape = (batch, cfg.kv_heads, max_length, cfg.head_dim)
+        if scan_groups is not None:
+            assert cfg.num_layers % scan_groups == 0
+            n = cfg.num_layers // scan_groups
+            shape = (scan_groups, *shape)
+            count = n
+        else:
+            count = cfg.num_layers
+        layer = LayerKV(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
         return KVCache(
-            layers=tuple(layer for _ in range(cfg.num_layers)),
+            layers=tuple(layer for _ in range(count)),
             index=jnp.zeros((), jnp.int32),
             pad_mask=jnp.zeros((batch, max_length), bool),
         )

@@ -189,6 +189,10 @@ class FlamingoLM(nn.Module):
             tq, cache is not None
         ):
             return False
+        if not cache.stacked:
+            # legacy per-layer cache (e.g. eval rank-classification):
+            # flax-scan path handles it
+            return False
         if media is not None and media_cache is None:
             return False
         return True
@@ -431,7 +435,12 @@ class FlamingoLM(nn.Module):
             name="groups",
         )
         if has_cache:
-            group_kv = stack_group_kv(cache.layers, n)
+            # stacked caches (KVCache.create(scan_groups=...)) pass
+            # through; per-layer caches are stacked here (legacy path)
+            group_kv = (
+                cache.layers if cache.stacked
+                else stack_group_kv(cache.layers, n)
+            )
         else:
             group_kv = jnp.zeros((g, 1), jnp.int32)  # dummy scanned input
         # media K/V captured at prefill: a single LayerKV with a leading
@@ -447,5 +456,7 @@ class FlamingoLM(nn.Module):
             (group_kv, mkv),
         )
         if has_cache:
+            if cache.stacked:
+                return x, list(ys)     # keep the stacked layout
             return x, list(unstack_group_kv(ys, g, n))
         return x, [None] * cfg.num_layers

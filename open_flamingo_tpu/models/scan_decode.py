@@ -289,50 +289,49 @@ def scan_fused_decode(
     dtype,
 ) -> Tuple[jax.Array, list]:
     """Run the full decode layer stack as lax.scan over layer groups.
-    Returns (x (B, 1, D), new per-layer LayerKV list)."""
-    from .lm import stack_group_kv, unstack_group_kv
 
+    The KV caches arrive group-STACKED (KVCache scan layout) and travel
+    through the scan CARRY; the kernels' block index maps read/write
+    only layer li's blocks in place (aliased), so per-step cache traffic
+    is exactly one stream + one slot write — no stack/unstack or
+    per-layer slice copies anywhere.
+
+    Returns (x (B, 1, D), new stacked LayerKV list, len n)."""
     num_layers = cfg.num_layers
     assert num_layers % n == 0
     g = num_layers // n
     x2 = x[:, 0]
     has_xattn = cache.media is not None
+    assert cache.stacked, "scan decode needs KVCache.create(scan_groups=)"
 
-    group_kv = stack_group_kv(cache.layers, n)
     if has_xattn:
-        mkv = cache.media[0]       # stacked (G, B, H, S_m, Dh)
+        mkv = cache.media[0]       # stacked (G, B, H, S_m, Dh), static
         media_time = (
             jax.lax.broadcasted_iota(jnp.int32, (t_img, n_latents), 0)
             .reshape(-1) + 1
         )
         mask2d = text_time[:, :1] == media_time[None, :]   # (B, S_m)
     else:
-        mkv = jnp.zeros((g, 1), jnp.int32)     # dummy scanned input
+        mkv = None
         mask2d = None
 
-    def body(carry, xs):
-        x2 = carry
-        kvs, mkv_g, li = xs
-        new_kvs = []
+    def body(carry, li):
+        x2, kvs = carry
+        new_kvs = list(kvs)
         for k in range(n):
             if k == n - 1 and has_xattn:
                 x2 = _xattn_decode(
-                    x2,
-                    jax.tree.map(lambda a: a, mkv_g),
-                    mask2d, li,
+                    x2, mkv, mask2d, li,
                     groups["xattn"], (qgroups or {}).get("xattn"), dtype,
                 )
-            kv = jax.tree.map(lambda a: a, kvs[k])
-            x2, new_kv = _block_decode(
-                cfg, x2, attn, kv, li,
+            x2, new_kvs[k] = _block_decode(
+                cfg, x2, attn, kvs[k], li,
                 groups[f"block_{k}"], (qgroups or {}).get(f"block_{k}"),
                 dtype,
             )
-            new_kvs.append(new_kv)
-        return x2, tuple(new_kvs)
+        return (x2, tuple(new_kvs)), None
 
-    x2, ys = jax.lax.scan(
-        body, x2, (group_kv, mkv, jnp.arange(g, dtype=jnp.int32))
+    (x2, new_layers), _ = jax.lax.scan(
+        body, (x2, tuple(cache.layers)), jnp.arange(g, dtype=jnp.int32)
     )
-    new_layers = list(unstack_group_kv(ys, g, n))
-    return x2[:, None], new_layers
+    return x2[:, None], list(new_layers)

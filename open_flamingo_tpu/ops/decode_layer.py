@@ -188,10 +188,16 @@ def attend_out_decode(
 
     interpret = INTERPRET if interpret is None else interpret
     b, h, dh = q.shape
-    h_kv = k_cache.shape[1]
+    # cache_stacked (scan decode): caches carry a leading layer axis
+    # (L, B, H_kv, S, Dh); the kernel reads/writes only layer
+    # `layer_idx`'s blocks — no per-layer slice copies.
+    cache_stacked = k_cache.ndim == 5
+    if cache_stacked:
+        assert layer_idx is not None
+    h_kv = k_cache.shape[1 + cache_stacked]
     assert h % h_kv == 0, (h, h_kv)
     n_rep = h // h_kv
-    s_max = k_cache.shape[2]
+    s_max = k_cache.shape[2 + cache_stacked]
     d = wout.shape[-1]
     update = k_new is not None
     stacked = layer_idx is not None
@@ -223,12 +229,19 @@ def attend_out_decode(
         k_cache, v_cache,
         mask.astype(jnp.int32), slopes2, wout,
     ]
+    if cache_stacked:
+        kv_spec = pl.BlockSpec(
+            (None, b, 1, s_max, dh),
+            lambda hh, slot: (slot[1], 0, hh // n_rep, 0, 0),
+        )
+    else:
+        kv_spec = pl.BlockSpec(
+            (b, 1, s_max, dh), lambda hh, slot: (0, hh // n_rep, 0, 0)
+        )
     in_specs = [
         pl.BlockSpec((b, 1, 1, dh), lambda hh, slot: (0, hh, 0, 0)),
-        pl.BlockSpec((b, 1, s_max, dh),
-                     lambda hh, slot: (0, hh // n_rep, 0, 0)),
-        pl.BlockSpec((b, 1, s_max, dh),
-                     lambda hh, slot: (0, hh // n_rep, 0, 0)),
+        kv_spec,
+        kv_spec,
         pl.BlockSpec((b, s_max), lambda hh, slot: (0, 0)),
         pl.BlockSpec((1, 1, 1), lambda hh, slot: (hh, 0, 0)),
         pl.BlockSpec(sshape((1, dh, d)), smap(lambda hh: (hh, 0, 0))),
@@ -267,18 +280,21 @@ def attend_out_decode(
     out_shape = [jax.ShapeDtypeStruct((b, d), q.dtype)]
     aliases = {}
     if update:
-        out_specs += [
-            # GQA: n_rep query heads revisit the same kv-head block;
-            # the repeated writes are identical (benign)
-            pl.BlockSpec(
+        # GQA: n_rep query heads revisit the same kv-head block; the
+        # repeated writes are identical (benign)
+        if cache_stacked:
+            kv_out = pl.BlockSpec(
+                (None, b, 1, block_s, dh),
+                lambda hh, slot: (
+                    slot[1], 0, hh // n_rep, slot[0] // block_s, 0
+                ),
+            )
+        else:
+            kv_out = pl.BlockSpec(
                 (b, 1, block_s, dh),
                 lambda hh, slot: (0, hh // n_rep, slot[0] // block_s, 0),
-            ),
-            pl.BlockSpec(
-                (b, 1, block_s, dh),
-                lambda hh, slot: (0, hh // n_rep, slot[0] // block_s, 0),
-            ),
-        ]
+            )
+        out_specs += [kv_out, kv_out]
         out_shape += [
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
@@ -491,7 +507,10 @@ def attn_block_decode(
     interpret = INTERPRET if interpret is None else interpret
     b, d = x.shape
     h, dh = heads, head_dim
-    s_max = k_cache.shape[2]
+    cache_stacked = k_cache.ndim == 5
+    if cache_stacked:
+        assert layer_idx is not None
+    s_max = k_cache.shape[2 + cache_stacked]
     stacked = layer_idx is not None
     g = head_block
     while h % g:
@@ -537,11 +556,20 @@ def attn_block_decode(
             pl.BlockSpec(sshape((d, gdh)),
                          smap(lambda gg: (0, 2 * n_groups + gg))),
         ]
+    if cache_stacked:
+        kv_spec = pl.BlockSpec(
+            (None, b, g, s_max, dh),
+            lambda gg, slot: (slot[1], 0, gg, 0, 0),
+        )
+    else:
+        kv_spec = pl.BlockSpec(
+            (b, g, s_max, dh), lambda gg, slot: (0, gg, 0, 0)
+        )
     operands += [k_cache, v_cache, mask.astype(jnp.int32), slopes3, wout,
                  vec(ln_scale, d)]
     in_specs += [
-        pl.BlockSpec((b, g, s_max, dh), lambda gg, slot: (0, gg, 0, 0)),
-        pl.BlockSpec((b, g, s_max, dh), lambda gg, slot: (0, gg, 0, 0)),
+        kv_spec,
+        kv_spec,
         pl.BlockSpec((b, s_max), lambda gg, slot: (0, 0)),
         pl.BlockSpec((g, 1, 1), lambda gg, slot: (gg, 0, 0)),
         pl.BlockSpec(sshape((gdh, d)), smap(lambda gg: (gg, 0))),
@@ -581,16 +609,17 @@ def attn_block_decode(
     out_shape = [jax.ShapeDtypeStruct((b, d), x.dtype)]
     aliases = {}
     if fused_qkv:
-        out_specs += [
-            pl.BlockSpec(
+        if cache_stacked:
+            kv_out = pl.BlockSpec(
+                (None, b, g, block_s, dh),
+                lambda gg, slot: (slot[1], 0, gg, slot[0] // block_s, 0),
+            )
+        else:
+            kv_out = pl.BlockSpec(
                 (b, g, block_s, dh),
                 lambda gg, slot: (0, gg, slot[0] // block_s, 0),
-            ),
-            pl.BlockSpec(
-                (b, g, block_s, dh),
-                lambda gg, slot: (0, gg, slot[0] // block_s, 0),
-            ),
-        ]
+            )
+        out_specs += [kv_out, kv_out]
         out_shape += [
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),

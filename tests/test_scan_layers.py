@@ -185,3 +185,27 @@ def test_scan_fused_generate_int8(rng):
         dense_stream.FORCE_FUSED = False
         dense_stream.INTERPRET = False
     np.testing.assert_array_equal(got, ref)
+
+
+def test_scan_beam_generate_matches_unrolled(rng):
+    """Beam search over the group-stacked scan cache: the beam gather
+    must reorder the (G, B*K, ...) cache arrays on axis 1."""
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+
+    base = tiny_flamingo()
+    unrolled = Flamingo(cfg=base.cfg)
+    scanned = Flamingo(cfg=dataclasses.replace(base.cfg, scan_layers=True))
+    vision_x, ids = make_batch(rng)
+    mask = jnp.ones_like(ids)
+    u_vars = unrolled.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    s_vars = _scan_variables(u_vars, unrolled)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=5, num_beams=3, pad_token_id=0, eos_token_id=-1
+    )
+    ref = np.asarray(
+        flamingo_generate(unrolled, u_vars, vision_x, ids, mask, gen_cfg)
+    )
+    got = np.asarray(
+        flamingo_generate(scanned, s_vars, vision_x, ids, mask, gen_cfg)
+    )
+    np.testing.assert_array_equal(got, ref)
