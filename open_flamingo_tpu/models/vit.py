@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import attend, gelu_exact, merge_heads, split_heads
+from .layers import PLayerNorm, attend, gelu_exact, merge_heads, split_heads
 
 Dtype = Any
 
@@ -77,15 +77,56 @@ class ViTBlock(nn.Module):
         ln = dict(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype
         )
-        h = nn.LayerNorm(**ln, name="layer_norm1")(x)
+        from ..ops.layer_norm import layer_norm_vjp, use_ln_kernel
+
+        ln1 = PLayerNorm(cfg.hidden_size, epsilon=cfg.layer_norm_eps,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="layer_norm1")
+        ln2 = PLayerNorm(cfg.hidden_size, epsilon=cfg.layer_norm_eps,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="layer_norm2")
+        if use_ln_kernel():
+            # one-pass Pallas LN: XLA's convert_reduce+VMEM-copy fusions
+            # stall ~10x over bandwidth here (ops/layer_norm.py)
+            h = layer_norm_vjp(x, ln1.scale, ln1.bias, cfg.layer_norm_eps)
+        else:
+            h = ln1(x)
         q = nn.Dense(cfg.hidden_size, **dense, name="q_proj")(h)
         k = nn.Dense(cfg.hidden_size, **dense, name="k_proj")(h)
         v = nn.Dense(cfg.hidden_size, **dense, name="v_proj")(h)
-        q = split_heads(q, cfg.num_heads) * (cfg.head_dim**-0.5)
-        out = attend(q, split_heads(k, cfg.num_heads), split_heads(v, cfg.num_heads))
-        x = x + nn.Dense(cfg.hidden_size, **dense, name="out_proj")(merge_heads(out))
+        from ..ops.vit_attention import use_vit_kernel, vit_attention
 
-        h = nn.LayerNorm(**ln, name="layer_norm2")(x)
+        nh, dh = cfg.num_heads, cfg.head_dim
+        if use_vit_kernel():
+            # batched whole-sequence Pallas attention: the fp32 score
+            # tensor stays in VMEM (ops/vit_attention.py)
+            b2, t2, _ = q.shape
+            qf = q.reshape(b2, t2, nh, dh).transpose(0, 2, 1, 3)
+            kf = k.reshape(b2, t2, nh, dh).transpose(0, 2, 1, 3)
+            vf = v.reshape(b2, t2, nh, dh).transpose(0, 2, 1, 3)
+            out = vit_attention(
+                qf.reshape(b2 * nh, t2, dh),
+                kf.reshape(b2 * nh, t2, dh),
+                vf.reshape(b2 * nh, t2, dh),
+                dh**-0.5,
+            )
+            out = (
+                out.reshape(b2, nh, t2, dh)
+                .transpose(0, 2, 1, 3)
+                .reshape(b2, t2, nh * dh)
+            )
+            x = x + nn.Dense(cfg.hidden_size, **dense, name="out_proj")(out)
+        else:
+            q = split_heads(q, nh) * (dh**-0.5)
+            out = attend(q, split_heads(k, nh), split_heads(v, nh))
+            x = x + nn.Dense(cfg.hidden_size, **dense, name="out_proj")(
+                merge_heads(out)
+            )
+
+        if use_ln_kernel():
+            h = layer_norm_vjp(x, ln2.scale, ln2.bias, cfg.layer_norm_eps)
+        else:
+            h = ln2(x)
         h = nn.Dense(cfg.intermediate_size, **dense, name="fc1")(h)
         h = _act(cfg.hidden_act)(h)
         h = nn.Dense(cfg.hidden_size, **dense, name="fc2")(h)
