@@ -77,9 +77,20 @@ def main():
             np.asarray(jitted(params, vision_x, ids, mask))
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[len(times) // 2]
+        # steady-state (serving) throughput: keep batches in flight so
+        # the device queue runs back-to-back and the per-batch host
+        # dispatch (~30 ms over the remote tunnel) overlaps execution —
+        # continuous batching, the serving operating mode. Execution is
+        # in-order, so syncing the last result bounds all five.
+        n_pipe = 5
+        t0 = time.perf_counter()
+        outs = [jitted(params, vision_x, ids, mask) for _ in range(n_pipe)]
+        np.asarray(outs[-1])
+        dt_pipe = (time.perf_counter() - t0) / n_pipe
         return {
             "batch": B,
             "tokens_per_sec_per_chip": round(B * new / dt, 2),
+            "tokens_per_sec_per_chip_steady": round(B * new / dt_pipe, 2),
             "p50_per_image_latency_s": round(dt / B, 4),
         }
 

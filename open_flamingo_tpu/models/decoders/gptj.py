@@ -64,7 +64,10 @@ class GPTJBlock(nn.Module):
         from ...ops.attention import cached_self_attention
         from ...ops.dense_stream import use_fused_decode
 
-        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+        from ...ops.dense_stream import fused_head_dim_ok
+
+        if (use_fused_decode(t, attn.cached) and layer_kv is not None
+                and fused_head_dim_ok(cfg.head_dim)):
             # decode: shared-LN q/k/v, write+attend+out-proj, and the
             # biased MLP (parallel residual) as weight-streaming kernels
             from ...ops.decode_layer import attend_out_decode

@@ -61,7 +61,10 @@ class GPTNeoXBlock(nn.Module):
 
         rotary_ndims = int(cfg.head_dim * cfg.rotary_pct)
 
-        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+        from ...ops.dense_stream import fused_head_dim_ok
+
+        if (use_fused_decode(t, attn.cached) and layer_kv is not None
+                and fused_head_dim_ok(cfg.head_dim)):
             # decode: LN+QKV / write+attend+out-proj(+bias) / LN+MLP as
             # weight-streaming kernels; RoPE stays an XLA op (tiny)
             from ...ops.decode_layer import attend_out_decode

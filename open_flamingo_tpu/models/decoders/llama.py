@@ -85,7 +85,10 @@ class LlamaBlock(nn.Module):
         from ...ops.attention import cached_self_attention
         from ...ops.dense_stream import use_fused_decode
 
-        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+        from ...ops.dense_stream import fused_head_dim_ok
+
+        if (use_fused_decode(t, attn.cached) and layer_kv is not None
+                and fused_head_dim_ok(cfg.head_dim)):
             # decode: RMS+q/k/v, write+attend+out+residual, and a
             # SwiGLU MLP (gate & up stream through one pipeline) as
             # weight-streaming kernels. GQA streams the grouped KV cache

@@ -56,10 +56,11 @@ class MPTBlock(nn.Module):
 
         slopes = alibi_slopes(cfg.num_heads, cfg.alibi_bias_max)
 
-        if use_fused_decode(t, attn.cached) and layer_kv is not None:
-            # decode: 2 launches — the whole attention half (LN1 + QKV
-            # column-blocks + clip + cache write + ALiBi attend + out-
-            # proj + residual) on a head-group grid, then the fused MLP
+        from ...ops.dense_stream import fused_head_dim_ok
+
+        if (use_fused_decode(t, attn.cached) and layer_kv is not None
+                and fused_head_dim_ok(cfg.head_dim)):
+            from ...ops import fused_layer
             from ...ops.decode_layer import attn_block_decode
             from ...ops.dense_stream import fused_mlp
 
@@ -68,10 +69,29 @@ class MPTBlock(nn.Module):
             w_out, s_out = out_proj.stream_weight()
             w_up, s_up = up_proj.stream_weight()
             w_down, s_down = down_proj.stream_weight()
+            ln1b = norm_1.bias if not cfg.ln_no_bias else None
+            ln2b = norm_2.bias if not cfg.ln_no_bias else None
+            if not fused_layer.DISABLE:
+                # decode: ONE launch for the whole layer (attention
+                # phase on a head-group grid, then MLP K2 blocks)
+                y, kc, vc = fused_layer.fused_layer_decode(
+                    x[:, 0], norm_1.scale, ln1b,
+                    w_qkv, w_out, layer_kv.k, layer_kv.v, attn.pad_mask,
+                    w_up, w_down, norm_2.scale, ln2b,
+                    heads=cfg.num_heads, head_dim=hd, scale=hd**-0.5,
+                    act="gelu", fused_qkv=True, slot=attn.kv_slot,
+                    slopes=slopes, clip=cfg.clip_qkv,
+                    wq_scale=s_qkv, wout_scale=s_out,
+                    w1_scale=s_up, w2_scale=s_down,
+                    eps=cfg.layer_norm_eps,
+                )
+                return y[:, None], LayerKV(k=kc, v=vc)
+
+            # two-launch path (A/B hook): attention half, then MLP
             x2, kc, vc = attn_block_decode(
                 x[:, 0],
                 norm_1.scale,
-                norm_1.bias if not cfg.ln_no_bias else None,
+                ln1b,
                 w_qkv,
                 w_out,
                 layer_kv.k, layer_kv.v, attn.pad_mask,
@@ -86,7 +106,7 @@ class MPTBlock(nn.Module):
                 w_down,
                 w1_scale=s_up, w2_scale=s_down,
                 ln_scale=norm_2.scale,
-                ln_bias=norm_2.bias if not cfg.ln_no_bias else None,
+                ln_bias=ln2b,
                 eps=cfg.layer_norm_eps,
                 act="gelu",
                 residual=x2,

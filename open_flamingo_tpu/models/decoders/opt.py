@@ -52,7 +52,10 @@ class OPTBlock(nn.Module):
         from ...ops.attention import cached_self_attention
         from ...ops.dense_stream import use_fused_decode
 
-        if use_fused_decode(t, attn.cached) and layer_kv is not None:
+        from ...ops.dense_stream import fused_head_dim_ok
+
+        if (use_fused_decode(t, attn.cached) and layer_kv is not None
+                and fused_head_dim_ok(cfg.head_dim)):
             from ...ops.decode_layer import attend_out_decode
             from ...ops.dense_stream import fused_dense, fused_mlp
 

@@ -193,6 +193,10 @@ class FlamingoLM(nn.Module):
             # legacy per-layer cache (e.g. eval rank-classification):
             # flax-scan path handles it
             return False
+        from ..ops.dense_stream import fused_head_dim_ok
+
+        if not fused_head_dim_ok(self.cfg.head_dim):
+            return False   # Mosaic shape-cast limit below Dh=64
         if media is not None and media_cache is None:
             return False
         return True

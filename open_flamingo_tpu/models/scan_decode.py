@@ -72,15 +72,32 @@ def _block_decode(
     fam = cfg.family
 
     if fam == "mpt":
+        from ..ops import fused_layer
+
         slopes = alibi_slopes(nh, cfg.alibi_bias_max)
         w_qkv, s_qkv = _w(p, qp, "Wqkv", dtype)
         w_out, s_out = _w(p, qp, "out_proj", dtype)
         w_up, s_up = _w(p, qp, "up_proj", dtype)
         w_down, s_down = _w(p, qp, "down_proj", dtype)
+        ln1b = p["norm_1"].get("bias") if not cfg.ln_no_bias else None
+        ln2b = p["norm_2"].get("bias") if not cfg.ln_no_bias else None
+        if not fused_layer.DISABLE:
+            y, kc, vc = fused_layer.fused_layer_decode(
+                x2, p["norm_1"]["scale"], ln1b,
+                w_qkv, w_out, kv.k, kv.v, attn.pad_mask,
+                w_up, w_down, p["norm_2"]["scale"], ln2b,
+                heads=nh, head_dim=hd, scale=hd**-0.5, act="gelu",
+                fused_qkv=True, slot=attn.kv_slot, slopes=slopes,
+                clip=cfg.clip_qkv,
+                wq_scale=s_qkv, wout_scale=s_out,
+                w1_scale=s_up, w2_scale=s_down,
+                eps=cfg.layer_norm_eps, layer_idx=li,
+            )
+            return y, LayerKV(k=kc, v=vc)
         x2, kc, vc = attn_block_decode(
             x2,
             p["norm_1"]["scale"],
-            p["norm_1"].get("bias") if not cfg.ln_no_bias else None,
+            ln1b,
             w_qkv, w_out, kv.k, kv.v, attn.pad_mask,
             heads=nh, head_dim=hd, scale=hd**-0.5,
             fused_qkv=True, slot=attn.kv_slot, slopes=slopes,
@@ -90,7 +107,7 @@ def _block_decode(
         y = fused_mlp(
             x2, w_up, w_down, w1_scale=s_up, w2_scale=s_down,
             ln_scale=p["norm_2"]["scale"],
-            ln_bias=p["norm_2"].get("bias") if not cfg.ln_no_bias else None,
+            ln_bias=ln2b,
             eps=cfg.layer_norm_eps, act="gelu", residual=x2, layer_idx=li,
         )
         return y, LayerKV(k=kc, v=vc)
@@ -248,6 +265,8 @@ def _xattn_decode(
 ) -> jax.Array:
     """Gated cross-attention fused decode with stacked weights —
     mirrors GatedCrossAttentionBlock's fused branch (models/xattn.py)."""
+    from ..ops import fused_layer
+
     ap = xp["attn"]
     fp = xp["ff"]
     aqp = (xqp or {}).get("attn")
@@ -257,6 +276,19 @@ def _xattn_decode(
     inner = w_o.shape[-2]
     dim_head = 64
     heads = inner // dim_head
+    w_1, s_1 = _w(fp, fqp, "fc1", dtype)
+    w_2, s_2 = _w(fp, fqp, "fc2", dtype)
+    if not fused_layer.DISABLE:
+        return fused_layer.fused_layer_decode(
+            x2, ap["norm"]["scale"], ap["norm"]["bias"],
+            w_q, w_o, mkv.k, mkv.v, mask2d,
+            w_1, w_2, fp["norm"]["scale"], fp["norm"]["bias"],
+            heads=heads, head_dim=dim_head, scale=dim_head**-0.5,
+            act="gelu", gate=xp["attn_gate"], gate2=xp["ff_gate"],
+            wq_scale=s_q, wout_scale=s_o,
+            w1_scale=s_1, w2_scale=s_2,
+            eps=LN_EPS, layer_idx=li,
+        )
     y = attn_block_decode(
         x2, ap["norm"]["scale"], ap["norm"]["bias"],
         w_q, w_o, mkv.k, mkv.v, mask2d,
@@ -264,8 +296,6 @@ def _xattn_decode(
         gate=xp["attn_gate"], eps=LN_EPS,
         wq_scale=s_q, wout_scale=s_o, layer_idx=li,
     )
-    w_1, s_1 = _w(fp, fqp, "fc1", dtype)
-    w_2, s_2 = _w(fp, fqp, "fc2", dtype)
     y2 = fused_mlp(
         y, w_1, w_2, w1_scale=s_1, w2_scale=s_2,
         ln_scale=fp["norm"]["scale"], ln_bias=fp["norm"]["bias"],

@@ -100,6 +100,7 @@ class MaskedCrossAttention(nn.Module):
         zero_rows: Optional[jax.Array] = None,
         out_gate: Optional[jax.Array] = None,
         out_residual: Optional[jax.Array] = None,
+        mlp: Optional[dict] = None,
     ) -> jax.Array:
         """
         x:          (B, T_txt, D_txt) text features
@@ -137,7 +138,7 @@ class MaskedCrossAttention(nn.Module):
         ):
             return self._fused_decode(
                 x, media_kv, text_time, t_img, n_lat,
-                norm, to_q, to_out_mod, out_gate, out_residual,
+                norm, to_q, to_out_mod, out_gate, out_residual, mlp,
             )
 
         x = norm(x)
@@ -210,12 +211,14 @@ class MaskedCrossAttention(nn.Module):
 
     def _fused_decode(
         self, x, media_kv, text_time, t_img, n_lat,
-        norm, to_q, to_out_mod, out_gate, out_residual,
+        norm, to_q, to_out_mod, out_gate, out_residual, mlp=None,
     ):
         """Single-token decode: LN+q-proj runs as a weight-streaming
         kernel; the media-time-masked attend over cached media K/V, the
         output projection, the tanh gate, and the residual merge into one
-        head-grid launch. Rows whose text has no preceding image
+        head-grid launch — and when the caller hands over its FF half
+        (`mlp` dict), the WHOLE gated block becomes one launch
+        (ops/fused_layer.py). Rows whose text has no preceding image
         (all-masked) contribute exact zeros — the immediate-mode rule."""
         from ..ops.decode_layer import attend_out_decode, attn_block_decode
         from ..ops.dense_stream import fused_dense
@@ -229,6 +232,21 @@ class MaskedCrossAttention(nn.Module):
         mask2d = text_time[:, :1] == media_time[None, :]   # (B, S_m)
         w_q, s_q = to_q.stream_weight()
         w_o, s_o = to_out_mod.stream_weight()
+        if mlp is not None and out_gate is not None and out_residual is not None:
+            from ..ops.fused_layer import fused_layer_decode
+
+            y = fused_layer_decode(
+                x[:, 0], norm.scale, norm.bias,
+                w_q, w_o, k, v, mask2d,
+                mlp["w1"], mlp["w2"], mlp["ln_scale"], mlp["ln_bias"],
+                heads=self.heads, head_dim=self.dim_head,
+                scale=self.dim_head**-0.5, act="gelu",
+                gate=out_gate, gate2=mlp["gate"],
+                wq_scale=s_q, wout_scale=s_o,
+                w1_scale=mlp["w1_scale"], w2_scale=mlp["w2_scale"],
+                eps=LN_EPS,
+            )
+            return y[:, None]
         if out_gate is not None and out_residual is not None:
             # gated path: one launch for the whole attention half
             y = attn_block_decode(
@@ -317,17 +335,32 @@ class GatedCrossAttentionBlock(nn.Module):
         )
 
         if fused:
-            # decode: gate+residual fold into the attention out-proj
-            # kernel; the FF (the layer's biggest weight stream) runs as
-            # one fused LN+fc1+gelu+fc2+gate+residual launch.
+            from ..ops import fused_layer
             from ..ops.dense_stream import fused_mlp
 
+            w_1, s_1 = ff.fc1.stream_weight()
+            w_2, s_2 = ff.fc2.stream_weight()
+            if not fused_layer.DISABLE:
+                # decode: the WHOLE gated block in one launch (masked
+                # attend over cached media K/V + out-proj + attn gate +
+                # residual, then the FF with its own gate) — the MLP
+                # half rides the attention module's launch
+                # (ops/fused_layer.py phase grid)
+                return xattn(
+                    x, media, text_time, media_kv, media_mask, zero_rows,
+                    out_gate=attn_gate, out_residual=x,
+                    mlp=dict(
+                        w1=w_1, w2=w_2, w1_scale=s_1, w2_scale=s_2,
+                        ln_scale=ff.norm.scale, ln_bias=ff.norm.bias,
+                        gate=ff_gate,
+                    ),
+                )
+
+            # two-launch path (A/B hook)
             x = xattn(
                 x, media, text_time, media_kv, media_mask, zero_rows,
                 out_gate=attn_gate, out_residual=x,
             )
-            w_1, s_1 = ff.fc1.stream_weight()
-            w_2, s_2 = ff.fc2.stream_weight()
             y = fused_mlp(
                 x[:, 0],
                 w_1,

@@ -49,7 +49,7 @@ def _decode_kernel(
     v_ref,      # (1, H, BK, D)
     mask_ref,   # (1, 1, BK) int32
     slope_ref,  # (1, 1, H) f32 per-head ALiBi slopes
-    *rest,      # [kn_ref (1,H,D), vn_ref (1,H,D)], out_ref,
+    *rest,      # [kn_ref (1,H,1,D), vn_ref (1,H,1,D)], out_ref,
                 # [ko_ref (1,H,BK,D), vo_ref], acc, m, l scratch
     block_k: int,
     kv_len: int,
@@ -80,10 +80,11 @@ def _decode_kernel(
         # overlay the new token's K/V in-register for this step's
         # attention, and flush the updated slot block back to the cache
         # (the other blocks are never written — in/out are aliased).
-        k = jnp.where(in_block, kn_ref[0][:, None, :].astype(k.dtype), k)
-        v_new = jnp.where(
-            in_block, vn_ref[0][:, None, :].astype(k.dtype), v_ref[0]
-        )
+        # kn/vn arrive as (1, H, 1, D) blocks so the (H, 1, D) view is a
+        # block squeeze, not an in-kernel reshape (Mosaic cannot lower
+        # the (H, D) -> (H, 1, D) shape cast at sub-lane head dims)
+        k = jnp.where(in_block, kn_ref[0].astype(k.dtype), k)
+        v_new = jnp.where(in_block, vn_ref[0].astype(k.dtype), v_ref[0])
 
         @pl.when(ki == slot // block_k)
         def _write():
@@ -174,10 +175,10 @@ def _call(
     aliases = {}
     if update:
         in_specs += [
-            pl.BlockSpec((1, h, d), lambda bi, ki, slot: (bi, 0, 0)),
-            pl.BlockSpec((1, h, d), lambda bi, ki, slot: (bi, 0, 0)),
+            pl.BlockSpec((1, h, 1, d), lambda bi, ki, slot: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, 1, d), lambda bi, ki, slot: (bi, 0, 0, 0)),
         ]
-        operands += [k_new, v_new]
+        operands += [k_new[:, :, None, :], v_new[:, :, None, :]]
         # updated cache: only the S-block containing the slot is flushed
         out_specs += [
             pl.BlockSpec(

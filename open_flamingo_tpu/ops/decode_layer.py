@@ -94,8 +94,10 @@ def _attend_out_kernel(
     slot = slot_ref[0]
 
     if update:
-        k_new = kn_ref[:, 0, 0]                         # (B, Dh)
-        v_new = vn_ref[:, 0, 0]
+        # (B, 1, Dh) via block squeeze — NOT an in-kernel reshape of the
+        # (B, Dh) row, which Mosaic cannot lower at small B/Dh
+        kn = kn_ref[:, 0].astype(k.dtype)               # (B, 1, Dh)
+        vn = vn_ref[:, 0].astype(v.dtype)
         # flush only the S-block containing the slot (aliased cache)
         blk = slot // block_s
         off = slot - blk * block_s
@@ -104,8 +106,6 @@ def _attend_out_kernel(
         )
         k_blk = k_ref[:, 0, pl.ds(blk * block_s, block_s), :]
         v_blk = v_ref[:, 0, pl.ds(blk * block_s, block_s), :]
-        kn = k_new[:, None, :].astype(k.dtype)
-        vn = v_new[:, None, :].astype(v.dtype)
         ko_ref[:, 0] = jnp.where(in_blk, kn, k_blk)
         vo_ref[:, 0] = jnp.where(in_blk, vn, v_blk)
         # overlay the new token in-register for this step's attention
@@ -416,8 +416,12 @@ def _attn_block_kernel(
         k_i = k_ref[:, hh]                        # (B, S, Dh)
         v_i = v_ref[:, hh]
         if proj_kv:
-            kn = kg[:, sl].astype(k_i.dtype)[:, None, :]
-            vn = vg[:, sl].astype(v_i.dtype)[:, None, :]
+            # the (B, Dh) -> (B, 1, Dh) expansion stays f32: Mosaic
+            # cannot materialize a bf16 (B, 1, Dh) vector below 16
+            # sublanes (bf16 packing), but the f32 form lowers at any
+            # B; cast to the cache dtype only at the full-block store
+            kn = kg[:, sl][:, None, :]               # (B, 1, Dh) f32
+            vn = vg[:, sl][:, None, :]
             blk = slot // block_s
             off = slot - blk * block_s
             in_blk = (
@@ -426,14 +430,18 @@ def _attn_block_kernel(
             )
             k_blk = k_ref[:, hh, pl.ds(blk * block_s, block_s), :]
             v_blk = v_ref[:, hh, pl.ds(blk * block_s, block_s), :]
-            ko_ref[:, hh] = jnp.where(in_blk, kn, k_blk)
-            vo_ref[:, hh] = jnp.where(in_blk, vn, v_blk)
+            ko_ref[:, hh] = jnp.where(
+                in_blk, kn, k_blk.astype(jnp.float32)
+            ).astype(ko_ref.dtype)
+            vo_ref[:, hh] = jnp.where(
+                in_blk, vn, v_blk.astype(jnp.float32)
+            ).astype(vo_ref.dtype)
             at_slot = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, kv_len, 1), 1)
                 == slot
             )
-            k_i = jnp.where(at_slot, kn, k_i)
-            v_i = jnp.where(at_slot, vn, v_i)
+            k_i = jnp.where(at_slot, kn, k_i.astype(jnp.float32))
+            v_i = jnp.where(at_slot, vn, v_i.astype(jnp.float32))
 
         s = jnp.sum(q_i[:, None, :] * k_i.astype(jnp.float32), axis=-1)
         if use_alibi:

@@ -86,6 +86,14 @@ def note_params_sharding(params) -> bool:
     return _MODEL_SHARDED
 
 
+def fused_head_dim_ok(head_dim: int) -> bool:
+    """Mosaic cannot lower the decode kernels' (B, Dh) -> (B, 1, Dh)
+    shape casts below Dh=64 (found at Dh=32, round 3); every supported
+    real checkpoint uses Dh in {64, 128}. Interpret mode (CPU tests,
+    FORCE_FUSED) has no such limit."""
+    return head_dim >= 64 or FORCE_FUSED or INTERPRET
+
+
 def use_fused_decode(tq: int, cached: bool) -> bool:
     """Single-token decode against a cache on TPU -> fused kernels."""
     global _WARNED_SHARDED
