@@ -50,8 +50,13 @@ from .decode_layer import _pick_block_s
 
 NEG_INF = -1.0e30
 
-# A/B hook: route callers back to the two-launch path
-DISABLE = False
+# Default OFF: the on-TPU A/B (scripts_dev/tpu_fused_layer_ab.py, r3)
+# measured the single-launch layer ~3% SLOWER than the two-launch
+# composition at B=32 (3,409 vs 3,507 tok/s scan-int8) and noise-equal
+# at B=8 — decode is DMA-bound, not launch-bound, and the phased grid
+# costs a little pipelining overlap at the phase boundary. Kept as
+# tested library code (tests/test_fused_layer.py) behind this hook.
+DISABLE = True
 
 
 def _act_f32(h, act):
