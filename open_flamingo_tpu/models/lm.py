@@ -258,7 +258,35 @@ class FlamingoLM(nn.Module):
             )
         media_cache = cache.media if cache is not None else None
 
-        if self.scan_layers and self._can_scan_fused_decode(
+        tp_decode_on = False
+        if self.scan_layers and not self.is_initializing():
+            from .tp_decode import tp_ready
+
+            tp_decode_on = tp_ready(
+                cfg, input_ids.shape[1], cache, media, media_cache,
+                self.variables.get("params", {}).get("groups"),
+            )
+        if tp_decode_on:
+            # model-axis tensor parallelism: the same stacked-weight
+            # engine, shard_map'd over the mesh with psum epilogues
+            # (tp_decode.py) — fused kernels on local head/column shards
+            from .tp_decode import tp_scan_fused_decode
+
+            variables = self.variables
+            x, new_layers = tp_scan_fused_decode(
+                cfg,
+                x,
+                attn,
+                cache,
+                text_time,
+                variables["params"]["groups"],
+                variables.get("qparams", {}).get("groups"),
+                self.cross_attn_every_n or 1,
+                media.shape[1] if media is not None else 0,
+                media.shape[2] if media is not None else 0,
+                self.dtype,
+            )
+        elif self.scan_layers and self._can_scan_fused_decode(
             input_ids.shape[1], cache, media, media_cache
         ):
             # stacked-weight decode engine: kernels index the stacked

@@ -121,3 +121,98 @@ def test_fused_decode_gate_on_sharded_params(rng):
     np.testing.assert_array_equal(got, ref)
     # unsharded params re-enable the gate
     assert not dense_stream._MODEL_SHARDED
+
+
+@pytest.mark.parametrize(
+    "family", ["mpt", "gptneox", "llama", "gptj", "opt"]
+)
+def test_tp_fused_scan_generate_matches_single_device(rng, family):
+    """The shard_map'd TP fused decode engine (models/tp_decode.py):
+    scan layout + model-axis-sharded params on the (fsdp=4, model=2)
+    mesh, FORCE_FUSED+INTERPRET, must produce exactly the single-device
+    tokens — and must actually ENGAGE (not fall back to einsum).
+    Covers the fused-QKV split (mpt thirds, gptneox per-head
+    interleave), llama GQA (kv_heads=2 over tp=2), and the row-parallel
+    bias-post-psum epilogues (gptj/opt)."""
+    import dataclasses
+
+    from open_flamingo_tpu.models import tp_decode
+    from open_flamingo_tpu.models.decoders.common import DecoderConfig
+    from open_flamingo_tpu.models.flamingo import Flamingo, FlamingoConfig
+    from open_flamingo_tpu.models.vit import VisionConfig
+    from open_flamingo_tpu.ops import dense_stream
+
+    from test_scan_layers import _scan_variables
+
+    vis = VisionConfig(
+        image_size=14, patch_size=7, hidden_size=24, num_layers=1,
+        num_heads=2, intermediate_size=32,
+    )
+    lm = {
+        "mpt": DecoderConfig(
+            family="mpt", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+            num_heads=4, intermediate_size=64, alibi=True,
+            attention_bias=False, ln_no_bias=True, clip_qkv=6.0,
+        ),
+        "gptneox": DecoderConfig(
+            family="gptneox", vocab_size=VOCAB, hidden_size=32,
+            num_layers=2, num_heads=4, intermediate_size=64,
+            rotary_pct=0.25, tie_word_embeddings=False,
+        ),
+        "llama": DecoderConfig(
+            family="llama", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+            num_heads=4, num_kv_heads=2, intermediate_size=64,
+            attention_bias=False, tie_word_embeddings=False,
+            hidden_act="silu", use_parallel_residual=False,
+        ),
+        "gptj": DecoderConfig(
+            family="gptj", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+            num_heads=4, intermediate_size=64, rotary_dim=4,
+            tie_word_embeddings=False, lm_head_bias=True,
+        ),
+        "opt": DecoderConfig(
+            family="opt", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+            num_heads=4, intermediate_size=64,
+        ),
+    }[family]
+    fcfg = FlamingoConfig(
+        vision=vis, lm=lm, media_token_id=MEDIA, eoc_token_id=EOC,
+        cross_attn_every_n=1, num_vis_latents=4, perceiver_depth=1,
+        perceiver_heads=2, perceiver_dim_head=8,
+    )
+    unrolled = Flamingo(cfg=fcfg)
+    scanned = Flamingo(cfg=dataclasses.replace(fcfg, scan_layers=True))
+    vision_x, ids = make_batch(rng)
+    mask = jnp.ones_like(ids)
+    params = unrolled.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    s_vars = _scan_variables(params, unrolled)
+    cfg = GenerationConfig(
+        max_new_tokens=5, pad_token_id=PAD, eos_token_id=EOC
+    )
+    ref = np.asarray(
+        flamingo_generate(scanned, s_vars, vision_x, ids, mask, cfg)
+    )
+
+    mesh = make_mesh(MeshConfig(replica=1, fsdp=4, model=2))
+    params_s = shard_params(s_vars, mesh)
+    data = NamedSharding(mesh, P())
+    old = (dense_stream.FORCE_FUSED, dense_stream.INTERPRET)
+    tp_decode._ENGAGED = False
+    try:
+        dense_stream.FORCE_FUSED = True
+        dense_stream.INTERPRET = True
+        with jax.set_mesh(mesh):
+            got = np.asarray(
+                flamingo_generate(
+                    scanned, params_s,
+                    jax.device_put(vision_x, data),
+                    jax.device_put(ids, data),
+                    jax.device_put(mask, data),
+                    cfg,
+                )
+            )
+        assert tp_decode._ENGAGED, "TP fused engine did not engage"
+    finally:
+        dense_stream.FORCE_FUSED, dense_stream.INTERPRET = old
+        dense_stream.note_params_sharding(params)
+    np.testing.assert_array_equal(got, ref)
