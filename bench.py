@@ -42,7 +42,9 @@ def main():
     )
     T_TXT, NEW = 32, 32
 
-    def measure(B, int8=False, new=NEW, scan=False):
+    def measure(B, int8=False, new=NEW, scan=False, w8a8_prefill=False):
+        from open_flamingo_tpu.ops import w8a8
+
         m = scan_model if scan else model
         vision_x = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
         ids = jnp.zeros((B, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
@@ -55,7 +57,14 @@ def main():
         params = jax.jit(
             lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
         )()
-        if int8:
+        if w8a8_prefill:
+            # W8A8 int8 prefill + vision on top of int8 decode
+            # (ops/w8a8.py, --int8_prefill)
+            from open_flamingo_tpu.quantize import quantize_prefill_params
+
+            params = jax.jit(quantize_prefill_params)(params)
+            w8a8.ENABLED = True
+        elif int8:
             # int8 weight-streaming decode (quantize.py): halves the
             # per-token weight DMA. Zeros quantize to zeros/unit scales —
             # throughput is weight-value-independent.
@@ -69,6 +78,7 @@ def main():
             lambda p, vx, i, mk: flamingo_generate(m, p, vx, i, mk, gen_cfg)
         )
         np.asarray(jitted(params, vision_x, ids, mask))  # compile + warmup
+        w8a8.ENABLED = False
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
@@ -98,10 +108,14 @@ def main():
     small = measure(8)    # the eval harness's batch size
     serve_q = measure(32, int8=True)
     small_q = measure(8, int8=True)
-    serve_sq = measure(32, int8=True, scan=True)   # production config
+    serve_sq = measure(32, int8=True, scan=True)
     small_sq = measure(8, int8=True, scan=True)
+    # production serving config: scan engine + int8 decode + W8A8 prefill
+    serve_sw = measure(32, scan=True, w8a8_prefill=True)
+    small_sw = measure(8, scan=True, w8a8_prefill=True)
     one_q = measure(32, int8=True, new=1)   # vision+prefill(+1 step)
     tokens_per_sec = max(
+        serve_sw["tokens_per_sec_per_chip"],
         serve_sq["tokens_per_sec_per_chip"],
         serve_q["tokens_per_sec_per_chip"],
     )
@@ -116,14 +130,16 @@ def main():
     detail = {
         "prompt_len": T_TXT,
         "new_tokens": NEW,
-        "dtype": "bf16; headline = int8 weight-streaming decode, "
-                 "scan (stacked-weight) engine",
+        "dtype": "bf16; headline = scan engine + int8 weight-streaming "
+                 "decode + W8A8 int8 prefill/vision",
         "batch_32": serve,
         "batch_8": small,
         "batch_32_int8": serve_q,
         "batch_8_int8": small_q,
         "batch_32_scan_int8": serve_sq,
         "batch_8_scan_int8": small_sq,
+        "batch_32_scan_int8_w8a8prefill": serve_sw,
+        "batch_8_scan_int8_w8a8prefill": small_sw,
         "vision_prefill_s_b32": round(vision_prefill_s, 4),
         "vision_prefill_share_b32_int8": round(vision_prefill_s / dt32, 3),
     }

@@ -348,6 +348,10 @@ def build_parser():
                    help="int8 weight-streaming decode (quantize.py): "
                         "halves the per-token weight DMA; prefill and "
                         "scoring stay full precision")
+    p.add_argument("--int8_prefill", action="store_true",
+                   help="W8A8 int8 prefill + vision forward (ops/w8a8.py):"
+                        " dynamic per-token activation quant on the int8 "
+                        "MXU path; implies --int8_decode")
     # benchmarks
     for name in ("coco", "flickr"):
         p.add_argument(f"--eval_{name}", action="store_true")
@@ -427,7 +431,13 @@ def main(argv=None, *, eval_model=None):
                 params, ["params", "lm"], conv["lm"],
                 resize_vocab=model.cfg.lm.vocab_size,
             )
-        if args.int8_decode:
+        if args.int8_prefill:
+            from ..ops import w8a8
+            from ..quantize import quantize_prefill_params
+
+            params = quantize_prefill_params(params)
+            w8a8.ENABLED = True
+        elif args.int8_decode:
             from ..quantize import quantize_decode_params
 
             params = quantize_decode_params(params)

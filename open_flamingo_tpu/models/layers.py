@@ -55,7 +55,19 @@ class PDense(nn.Module):
             )
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops import w8a8
+
         bias = self.bias if self.use_bias else None
+        if w8a8.use_w8a8(x) and self.has_variable("qparams", "kernel_q"):
+            # W8A8 prefill: both operands int8 -> int8 MXU rate
+            # (ops/w8a8.py); opt-in via --int8_prefill
+            return w8a8.w8a8_dot(
+                x,
+                self.get_variable("qparams", "kernel_q"),
+                self.get_variable("qparams", "kernel_s"),
+                bias=bias,
+                out_dtype=self.dtype,
+            )
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, self.kernel, bias, dtype=self.dtype
         )

@@ -18,7 +18,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import PLayerNorm, attend, gelu_exact, merge_heads, split_heads
+from .layers import (
+    PDense,
+    PLayerNorm,
+    attend,
+    gelu_exact,
+    merge_heads,
+    split_heads,
+)
 
 Dtype = Any
 
@@ -91,9 +98,11 @@ class ViTBlock(nn.Module):
             h = layer_norm_vjp(x, ln1.scale, ln1.bias, cfg.layer_norm_eps)
         else:
             h = ln1(x)
-        q = nn.Dense(cfg.hidden_size, **dense, name="q_proj")(h)
-        k = nn.Dense(cfg.hidden_size, **dense, name="k_proj")(h)
-        v = nn.Dense(cfg.hidden_size, **dense, name="v_proj")(h)
+        # PDense (same param tree as nn.Dense): W8A8 int8 forward when a
+        # qparams side-car is bound (quantize_prefill_params)
+        q = PDense(cfg.hidden_size, cfg.hidden_size, **dense, name="q_proj")(h)
+        k = PDense(cfg.hidden_size, cfg.hidden_size, **dense, name="k_proj")(h)
+        v = PDense(cfg.hidden_size, cfg.hidden_size, **dense, name="v_proj")(h)
         from ..ops.vit_attention import use_vit_kernel, vit_attention
 
         nh, dh = cfg.num_heads, cfg.head_dim
@@ -115,21 +124,25 @@ class ViTBlock(nn.Module):
                 .transpose(0, 2, 1, 3)
                 .reshape(b2, t2, nh * dh)
             )
-            x = x + nn.Dense(cfg.hidden_size, **dense, name="out_proj")(out)
+            x = x + PDense(
+                cfg.hidden_size, cfg.hidden_size, **dense, name="out_proj"
+            )(out)
         else:
             q = split_heads(q, nh) * (dh**-0.5)
             out = attend(q, split_heads(k, nh), split_heads(v, nh))
-            x = x + nn.Dense(cfg.hidden_size, **dense, name="out_proj")(
-                merge_heads(out)
-            )
+            x = x + PDense(
+                cfg.hidden_size, cfg.hidden_size, **dense, name="out_proj"
+            )(merge_heads(out))
 
         if use_ln_kernel():
             h = layer_norm_vjp(x, ln2.scale, ln2.bias, cfg.layer_norm_eps)
         else:
             h = ln2(x)
-        h = nn.Dense(cfg.intermediate_size, **dense, name="fc1")(h)
+        h = PDense(cfg.hidden_size, cfg.intermediate_size, **dense,
+                   name="fc1")(h)
         h = _act(cfg.hidden_act)(h)
-        h = nn.Dense(cfg.hidden_size, **dense, name="fc2")(h)
+        h = PDense(cfg.intermediate_size, cfg.hidden_size, **dense,
+                   name="fc2")(h)
         return x + h
 
 

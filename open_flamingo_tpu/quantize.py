@@ -96,6 +96,21 @@ def quantize_decode_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {**variables, "qparams": {"lm": _quantize_lm_tree(lm)}}
 
 
+def quantize_prefill_params(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Extend the `qparams` side-car to the ViT blocks so the W8A8
+    prefill path (ops/w8a8.py, --int8_prefill) covers the vision
+    forward too — q/k/v/out_proj/fc1/fc2 per block (patch_embed and the
+    attention einsums stay bf16). Composes with
+    quantize_decode_params (the LM side of W8A8 reuses the same int8
+    decode weights)."""
+    variables = quantize_decode_params(variables)
+    vision = variables["params"].get("vision")
+    qparams = dict(variables["qparams"])
+    if vision is not None:
+        qparams["vision"] = _quantize_lm_tree(vision)
+    return {**variables, "qparams": qparams}
+
+
 def dequantize_roundtrip(variables: Dict[str, Any]) -> Dict[str, Any]:
     """Replace every quantizable weight with dequant(quant(w)) so the
     int8 path is EXACT against the bf16 path on the same params — the
