@@ -68,12 +68,13 @@ class OpenFlamingoEvalModel(BaseEvalModel):
     already-preprocessed (H, W, C) arrays or PIL images."""
 
     def __init__(self, model: Flamingo, params, image_processor, tokenizer,
-                 max_prompt_tokens: int = 2000):
+                 max_prompt_tokens: int = 2000, int8_kv: bool = False):
         self.model = model
         self.params = params
         self.image_processor = image_processor
         self.tokenizer = tokenizer
         self.max_prompt_tokens = max_prompt_tokens
+        self.int8_kv = int8_kv
         self._gen_cache = {}
 
     # --- input prep (models/open_flamingo.py:65-121) -----------------------
@@ -127,6 +128,7 @@ class OpenFlamingoEvalModel(BaseEvalModel):
             length_penalty=length_penalty,
             eos_token_id=self.model.cfg.eoc_token_id,
             pad_token_id=getattr(self.tokenizer, "pad_token_id", 0) or 0,
+            int8_kv=self.int8_kv,
         )
         out = flamingo_generate(
             self.model, self.params, vision_x, ids, mask, cfg

@@ -352,6 +352,10 @@ def build_parser():
                    help="W8A8 int8 prefill + vision forward (ops/w8a8.py):"
                         " dynamic per-token activation quant on the int8 "
                         "MXU path; implies --int8_decode")
+    p.add_argument("--int8_kv", action="store_true",
+                   help="int8 KV + media caches with per-token scales: "
+                        "halves the per-step cache DMA (scan-engine "
+                        "decode only; silently bf16 elsewhere)")
     # benchmarks
     for name in ("coco", "flickr"):
         p.add_argument(f"--eval_{name}", action="store_true")
@@ -441,7 +445,10 @@ def main(argv=None, *, eval_model=None):
             from ..quantize import quantize_decode_params
 
             params = quantize_decode_params(params)
-        eval_model = OpenFlamingoEvalModel(model, params, image_processor, tokenizer)
+        eval_model = OpenFlamingoEvalModel(
+            model, params, image_processor, tokenizer,
+            int8_kv=args.int8_kv,
+        )
 
     rices_encoder = None
     if args.rices:

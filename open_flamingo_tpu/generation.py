@@ -36,6 +36,11 @@ class GenerationConfig:
     top_p: float = 1.0
     eos_token_id: Optional[int] = None
     pad_token_id: int = 0
+    # int8 KV + media caches (per-token scales): halves the per-step
+    # cache DMA. Engages only when the stacked-weight scan decode
+    # engine will run (scan_layers model, fused decode available) —
+    # silently stays bf16 otherwise.
+    int8_kv: bool = False
 
 
 # StepFn: (tokens (N,1), mask (N,1), cache) -> (logits (N,1,V), cache)
@@ -294,9 +299,19 @@ def flamingo_generate(
     if model.cfg.scan_layers:
         n = model.cfg.cross_attn_every_n or 1
         scan_groups = model.cfg.lm.num_layers // n
+    # int8 caches only where the scan fused engine is guaranteed to
+    # consume them (it dequantizes in-kernel; other decode paths would
+    # read raw int8 — see _can_scan_fused_decode)
+    int8_kv = (
+        cfg.int8_kv
+        and k == 1   # beam gather doesn't know the (H, B, S) scale layout
+        and scan_groups is not None
+        and dense_stream.use_fused_decode(1, True)
+        and dense_stream.fused_head_dim_ok(model.cfg.lm.head_dim)
+    )
     cache = KVCache.create(
         model.cfg.lm, lang_x.shape[0], cache_len, dtype=model.dtype,
-        scan_groups=scan_groups,
+        scan_groups=scan_groups, int8=int8_kv,
     )
     # prefill; capture each xattn layer's projected media K/V so decode
     # steps skip the (static) media projection entirely.
@@ -306,9 +321,24 @@ def flamingo_generate(
     )
     from .models.lm import extract_media_kv
 
-    cache = cache.replace(
-        media=extract_media_kv(variables, model.cfg.scan_layers)
-    )
+    media_kv = extract_media_kv(variables, model.cfg.scan_layers)
+    if int8_kv and media_kv is not None:
+        from .models.decoders.common import (
+            LayerKV,
+            kv_scale_layout,
+            quantize_kv,
+        )
+
+        def q_layer(l):
+            kq, ks = quantize_kv(l.k)
+            vq, vs = quantize_kv(l.v)
+            return LayerKV(
+                k=kq, v=vq,
+                k_s=kv_scale_layout(ks), v_s=kv_scale_layout(vs),
+            )
+
+        media_kv = tuple(q_layer(l) for l in media_kv)
+    cache = cache.replace(media=media_kv)
     first_logits = logits[:, -1]
 
     def step_fn(tok, mask, cache):

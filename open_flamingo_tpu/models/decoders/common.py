@@ -64,10 +64,27 @@ class LayerKV:
     cache rows are contiguous, so the flash kernel's (B*H, S, D) view is
     a free reshape and the fused decode kernel streams blocks at DMA line
     rate (the (B, S, H, D) layout forced XLA into latency-bound chunked
-    relayout copies of the whole cache every decode step)."""
+    relayout copies of the whole cache every decode step).
 
-    k: jax.Array  # (B, H_kv, S_max, Dh)
+    int8 cache (GenerationConfig.int8_kv): k/v are int8 with per-token
+    symmetric scales k_s/v_s — halves the per-step cache DMA; the
+    decode kernels dequantize in-register (logits *= k_s row, softmax
+    weights *= v_s row) and quantize the new token in-kernel.
+
+    Scale layout is HEAD-LEADING (H_kv, B, S_max) f32 (stacked:
+    (G, H_kv, B, S_max)): Mosaic requires a block's last two dims to be
+    (8,128)-divisible or full, so the per-head grid slices the leading
+    head axis and streams full (B, S) planes — the (B, 1, S) layout's
+    blocks are unlowerable."""
+
+    k: jax.Array  # (B, H_kv, S_max, Dh); int8 when quantized
     v: jax.Array  # (B, H_kv, S_max, Dh)
+    k_s: Optional[jax.Array] = None  # (H_kv, B, S_max) f32 scales
+    v_s: Optional[jax.Array] = None
+
+    @property
+    def int8(self) -> bool:
+        return self.k_s is not None
 
 
 @struct.dataclass
@@ -103,10 +120,14 @@ class KVCache:
         cfg: DecoderConfig, batch: int, max_length: int,
         dtype: Dtype = jnp.float32,
         scan_groups: Optional[int] = None,
+        int8: bool = False,
     ) -> "KVCache":
         """scan_groups (scan_layers models): number of lax.scan groups
         G = num_layers // cross_attn_every_n; layers become
-        cross_attn_every_n stacked (G, B, H, S, Dh) entries."""
+        cross_attn_every_n stacked (G, B, H, S, Dh) entries.
+
+        int8: quantized cache (per-token scales, see LayerKV) — empty
+        slots hold scale 1 (they stay masked)."""
         shape = (batch, cfg.kv_heads, max_length, cfg.head_dim)
         if scan_groups is not None:
             assert cfg.num_layers % scan_groups == 0
@@ -115,7 +136,19 @@ class KVCache:
             count = n
         else:
             count = cfg.num_layers
-        layer = LayerKV(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        if int8:
+            # scales are head-leading: (H, B, S) / (G, H, B, S)
+            bhs = shape[:-1]
+            sshape = (*bhs[:-3], bhs[-2], bhs[-3], bhs[-1])
+            layer = LayerKV(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k_s=jnp.ones(sshape, jnp.float32),
+                v_s=jnp.ones(sshape, jnp.float32),
+            )
+        else:
+            layer = LayerKV(
+                k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype)
+            )
         return KVCache(
             layers=tuple(layer for _ in range(count)),
             index=jnp.zeros((), jnp.int32),
@@ -223,6 +256,24 @@ def make_attn_inputs(
     )
 
 
+def quantize_kv(x: jax.Array):
+    """Per-token symmetric int8 over the last (Dh) axis:
+    (x_q int8, scale f32 with Dh removed — same leading layout as x)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    x_q = jnp.clip(
+        jnp.round(xf / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return x_q, scale
+
+
+def kv_scale_layout(scale: jax.Array) -> jax.Array:
+    """(..., B, H, S) <-> (..., H, B, S): swap to/from the head-leading
+    scale layout the int8-cache kernels require (see LayerKV)."""
+    return jnp.swapaxes(scale, -3, -2)
+
+
 def update_layer_kv(
     layer_kv: Optional[LayerKV], k: jax.Array, v: jax.Array, attn: AttnInputs
 ) -> Tuple[jax.Array, jax.Array, Optional[LayerKV]]:
@@ -233,11 +284,34 @@ def update_layer_kv(
     head-major (B, H, S, D) cache layout and the returned full arrays use
     that layout too (self_attention dispatches on attn.cached). For
     single-token decode the transpose is a free reshape.
+
+    int8 caches quantize the incoming tokens per (b, h, s) row and
+    return DEQUANTIZED full arrays (so this call's attention sees
+    exactly what later decode steps will read back).
     """
     if layer_kv is None:
         return k, v, None
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
+    if layer_kv.int8:
+        dtype = k.dtype
+        k_q, k_s = quantize_kv(k)          # scales (B, H, T)
+        v_q, v_s = quantize_kv(v)
+        at = (0, 0, attn.kv_slot, 0)
+        k_full = jax.lax.dynamic_update_slice(layer_kv.k, k_q, at)
+        v_full = jax.lax.dynamic_update_slice(layer_kv.v, v_q, at)
+        ks_full = jax.lax.dynamic_update_slice(
+            layer_kv.k_s, kv_scale_layout(k_s), (0, 0, attn.kv_slot)
+        )
+        vs_full = jax.lax.dynamic_update_slice(
+            layer_kv.v_s, kv_scale_layout(v_s), (0, 0, attn.kv_slot)
+        )
+        new = LayerKV(k=k_full, v=v_full, k_s=ks_full, v_s=vs_full)
+        ks_bhs = kv_scale_layout(ks_full)[..., None]   # back to (B, H, S, 1)
+        vs_bhs = kv_scale_layout(vs_full)[..., None]
+        k_deq = (k_full.astype(jnp.float32) * ks_bhs).astype(dtype)
+        v_deq = (v_full.astype(jnp.float32) * vs_bhs).astype(dtype)
+        return k_deq, v_deq, new
     k_full = jax.lax.dynamic_update_slice(
         layer_kv.k, k.astype(layer_kv.k.dtype), (0, 0, attn.kv_slot, 0)
     )

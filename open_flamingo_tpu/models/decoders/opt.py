@@ -55,6 +55,10 @@ class OPTBlock(nn.Module):
         from ...ops.dense_stream import fused_head_dim_ok
 
         if (use_fused_decode(t, attn.cached) and layer_kv is not None
+                # int8 KV caches route through the scan engine or the
+                # einsum fallback (update_layer_kv dequant), not the
+                # unrolled fused kernels
+                and not layer_kv.int8
                 and fused_head_dim_ok(cfg.head_dim)):
             from ...ops.decode_layer import attend_out_decode
             from ...ops.dense_stream import fused_dense, fused_mlp

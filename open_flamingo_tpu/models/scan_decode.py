@@ -58,6 +58,16 @@ def _b(p: Dict, name: str):
     return sub.get("bias")
 
 
+def _unpack_kv(res, int8: bool):
+    """(out, new LayerKV) from an updating attend kernel call — the
+    int8-cache variant returns the scale planes too."""
+    if int8:
+        y, kc, vc, ksc, vsc = res
+        return y, LayerKV(k=kc, v=vc, k_s=ksc, v_s=vsc)
+    y, kc, vc = res
+    return y, LayerKV(k=kc, v=vc)
+
+
 def _block_decode(
     cfg: DecoderConfig, x2, attn: AttnInputs, kv: LayerKV, li,
     p: Dict, qp: Optional[Dict], dtype,
@@ -81,7 +91,7 @@ def _block_decode(
         w_down, s_down = _w(p, qp, "down_proj", dtype)
         ln1b = p["norm_1"].get("bias") if not cfg.ln_no_bias else None
         ln2b = p["norm_2"].get("bias") if not cfg.ln_no_bias else None
-        if not fused_layer.DISABLE:
+        if not fused_layer.DISABLE and not kv.int8:
             y, kc, vc = fused_layer.fused_layer_decode(
                 x2, p["norm_1"]["scale"], ln1b,
                 w_qkv, w_out, kv.k, kv.v, attn.pad_mask,
@@ -94,7 +104,7 @@ def _block_decode(
                 eps=cfg.layer_norm_eps, layer_idx=li,
             )
             return y, LayerKV(k=kc, v=vc)
-        x2, kc, vc = attn_block_decode(
+        x2, new_kv = _unpack_kv(attn_block_decode(
             x2,
             p["norm_1"]["scale"],
             ln1b,
@@ -103,14 +113,15 @@ def _block_decode(
             fused_qkv=True, slot=attn.kv_slot, slopes=slopes,
             clip=cfg.clip_qkv, eps=cfg.layer_norm_eps,
             wq_scale=s_qkv, wout_scale=s_out, layer_idx=li,
-        )
+            k_scale=kv.k_s, v_scale=kv.v_s,
+        ), kv.int8)
         y = fused_mlp(
             x2, w_up, w_down, w1_scale=s_up, w2_scale=s_down,
             ln_scale=p["norm_2"]["scale"],
             ln_bias=ln2b,
             eps=cfg.layer_norm_eps, act="gelu", residual=x2, layer_idx=li,
         )
-        return y, LayerKV(k=kc, v=vc)
+        return y, new_kv
 
     if fam == "gptneox":
         rotary_ndims = int(hd * cfg.rotary_pct)
@@ -131,7 +142,7 @@ def _block_decode(
         cos, sin = rope_cos_sin(attn.position_ids, rotary_ndims,
                                 cfg.rope_theta)
         q, k = apply_rope(q[:, None], k[:, None], cos, sin)
-        attn_out, kc, vc = attend_out_decode(
+        attn_out, new_kv = _unpack_kv(attend_out_decode(
             q[:, 0], kv.k, kv.v, attn.pad_mask,
             w_out.reshape(-1, nh, hd, d),
             scale=hd**-0.5,
@@ -139,7 +150,8 @@ def _block_decode(
             wout_scale=s_out,
             bias=_b(p, "dense") if has_bias else None,
             layer_idx=li,
-        )
+            k_scale=kv.k_s, v_scale=kv.v_s,
+        ), kv.int8)
         mlp_in = x2 if cfg.use_parallel_residual else x2 + attn_out
         y = fused_mlp(
             mlp_in, w_up, w_down, w1_scale=s_up, w2_scale=s_down,
@@ -150,7 +162,7 @@ def _block_decode(
             eps=cfg.layer_norm_eps, act="gelu",
             residual=x2 + attn_out, layer_idx=li,
         )
-        return y, LayerKV(k=kc, v=vc)
+        return y, new_kv
 
     if fam == "llama":
         h_kv = cfg.kv_heads
@@ -168,13 +180,14 @@ def _block_decode(
         v = v.reshape(b, h_kv, hd)
         cos, sin = rope_cos_sin(attn.position_ids, hd, cfg.rope_theta)
         q, k = apply_rope(q[:, None], k[:, None], cos, sin)
-        x2, kc, vc = attend_out_decode(
+        x2, new_kv = _unpack_kv(attend_out_decode(
             q[:, 0], kv.k, kv.v, attn.pad_mask,
             w_o.reshape(-1, nh, hd, d),
             scale=hd**-0.5,
             k_new=k[:, 0], v_new=v, slot=attn.kv_slot,
             wout_scale=s_o, residual=x2, layer_idx=li,
-        )
+            k_scale=kv.k_s, v_scale=kv.v_s,
+        ), kv.int8)
         w_gate, s_gate = _w(p, qp, "gate_proj", dtype)
         w_up, s_up = _w(p, qp, "up_proj", dtype)
         w_down, s_down = _w(p, qp, "down_proj", dtype)
@@ -185,7 +198,7 @@ def _block_decode(
             eps=cfg.layer_norm_eps, norm="rms", act="silu",
             residual=x2, layer_idx=li,
         )
-        return y, LayerKV(k=kc, v=vc)
+        return y, new_kv
 
     if fam == "gptj":
         rotary_dim = cfg.rotary_dim or hd
@@ -210,19 +223,20 @@ def _block_decode(
             q[:, None], k[:, None], attn.position_ids, rotary_dim,
             cfg.rope_theta,
         )
-        attn_out, kc, vc = attend_out_decode(
+        attn_out, new_kv = _unpack_kv(attend_out_decode(
             q[:, 0], kv.k, kv.v, attn.pad_mask,
             w_o.reshape(-1, nh, hd, d),
             scale=hd**-0.5,
             k_new=k[:, 0], v_new=v, slot=attn.kv_slot,
             wout_scale=s_o, layer_idx=li,
-        )
+            k_scale=kv.k_s, v_scale=kv.v_s,
+        ), kv.int8)
         y = fused_mlp(
             x2, w_in, w_fo, w1_scale=s_in, w2_scale=s_fo,
             b1=_b(p, "fc_in"), b2=_b(p, "fc_out"),
             act=act_name, residual=x2 + attn_out, **ln_kw,
         )
-        return y, LayerKV(k=kc, v=vc)
+        return y, new_kv
 
     if fam == "opt":
         ln_kw = dict(
@@ -239,7 +253,7 @@ def _block_decode(
         q = fused_dense(x2, w_q, w_scale=s_q, bias=_b(p, "q_proj"), **ln_kw)
         k = fused_dense(x2, w_k, w_scale=s_k, bias=_b(p, "k_proj"), **ln_kw)
         v = fused_dense(x2, w_v, w_scale=s_v, bias=_b(p, "v_proj"), **ln_kw)
-        x2, kc, vc = attend_out_decode(
+        x2, new_kv = _unpack_kv(attend_out_decode(
             q.reshape(b, nh, hd), kv.k, kv.v, attn.pad_mask,
             w_o.reshape(-1, nh, hd, d),
             scale=hd**-0.5,
@@ -247,7 +261,8 @@ def _block_decode(
             slot=attn.kv_slot,
             wout_scale=s_o, bias=_b(p, "out_proj"), residual=x2,
             layer_idx=li,
-        )
+            k_scale=kv.k_s, v_scale=kv.v_s,
+        ), kv.int8)
         y = fused_mlp(
             x2, w_1, w_2, w1_scale=s_1, w2_scale=s_2,
             b1=_b(p, "fc1"), b2=_b(p, "fc2"),
@@ -255,7 +270,7 @@ def _block_decode(
             ln_bias=p["final_layer_norm"]["bias"],
             eps=cfg.layer_norm_eps, act="relu", residual=x2, layer_idx=li,
         )
-        return y, LayerKV(k=kc, v=vc)
+        return y, new_kv
 
     raise ValueError(f"unknown family {fam!r}")
 
@@ -278,7 +293,7 @@ def _xattn_decode(
     heads = inner // dim_head
     w_1, s_1 = _w(fp, fqp, "fc1", dtype)
     w_2, s_2 = _w(fp, fqp, "fc2", dtype)
-    if not fused_layer.DISABLE:
+    if not fused_layer.DISABLE and not mkv.int8:
         return fused_layer.fused_layer_decode(
             x2, ap["norm"]["scale"], ap["norm"]["bias"],
             w_q, w_o, mkv.k, mkv.v, mask2d,
@@ -295,6 +310,7 @@ def _xattn_decode(
         heads=heads, head_dim=dim_head, scale=dim_head**-0.5,
         gate=xp["attn_gate"], eps=LN_EPS,
         wq_scale=s_q, wout_scale=s_o, layer_idx=li,
+        k_scale=mkv.k_s, v_scale=mkv.v_s,
     )
     y2 = fused_mlp(
         y, w_1, w_2, w1_scale=s_1, w2_scale=s_2,

@@ -187,6 +187,10 @@ def tp_ready(
         return False
     if tq != 1 or cache is None or not cache.stacked or groups is None:
         return False
+    if cache.layers[0].int8:
+        # int8 caches are a single-chip scan-engine feature for now
+        # (generation.py gates int8_kv off under model sharding anyway)
+        return False
     if media is not None and media_cache is None:
         return False
     if not (jax.default_backend() == "tpu" or ds.FORCE_FUSED):

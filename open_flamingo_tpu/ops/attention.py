@@ -73,6 +73,7 @@ def cached_self_attention(
     tq = q.shape[1]
     if (
         layer_kv is not None
+        and not layer_kv.int8
         and tq == 1
         and n_rep == 1
         and attn.pad_mask is not None

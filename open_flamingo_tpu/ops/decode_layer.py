@@ -60,12 +60,16 @@ def _attend_out_kernel(
     wout_ref,       # (1, Dh, D) this head's slice of the out projection
     *rest,
     kv_len, block_s, use_alibi, update, has_bias, has_gate, has_residual,
-    has_wscale,
+    has_wscale, int8kv,
 ):
     i = 0
     kn_ref = vn_ref = None
     if update:
         kn_ref, vn_ref = rest[i], rest[i + 1]
+        i += 2
+    ks_ref = vs_ref = None
+    if int8kv:
+        ks_ref, vs_ref = rest[i], rest[i + 1]   # (B, 1, S) f32 scales
         i += 2
     ws_ref = rest[i] if has_wscale else None
     i += has_wscale
@@ -80,6 +84,9 @@ def _attend_out_kernel(
     if update:
         ko_ref, vo_ref = rest[i], rest[i + 1]
         i += 2
+        if int8kv:
+            kso_ref, vso_ref = rest[i], rest[i + 1]
+            i += 2
     acc_ref = rest[i]
 
     h = pl.program_id(0)
@@ -91,13 +98,29 @@ def _attend_out_kernel(
     q = q_ref[:, 0, 0].astype(jnp.float32)              # (B, Dh)
     k = k_ref[:, 0]                                     # (B, S, Dh)
     v = v_ref[:, 0]
+    if int8kv:
+        ks = ks_ref[0]                                  # (B, S) f32
+        vs = vs_ref[0]
     slot = slot_ref[0]
 
     if update:
-        # (B, 1, Dh) via block squeeze — NOT an in-kernel reshape of the
-        # (B, Dh) row, which Mosaic cannot lower at small B/Dh
-        kn = kn_ref[:, 0].astype(k.dtype)               # (B, 1, Dh)
-        vn = vn_ref[:, 0].astype(v.dtype)
+        if int8kv:
+            # quantize the new token in-kernel (per-row symmetric int8);
+            # the overlay attends to the QUANTIZED value — exactly what
+            # later steps read back from the cache
+            kn_f = kn_ref[:, 0].astype(jnp.float32)     # (B, 1, Dh)
+            vn_f = vn_ref[:, 0].astype(jnp.float32)
+            k_amax = jnp.max(jnp.abs(kn_f), axis=-1, keepdims=True)
+            v_amax = jnp.max(jnp.abs(vn_f), axis=-1, keepdims=True)
+            s_kn = jnp.where(k_amax == 0.0, 1.0, k_amax / 127.0)  # (B,1,1)
+            s_vn = jnp.where(v_amax == 0.0, 1.0, v_amax / 127.0)
+            kn = jnp.clip(jnp.round(kn_f / s_kn), -127, 127)
+            vn = jnp.clip(jnp.round(vn_f / s_vn), -127, 127)
+        else:
+            # (B, 1, Dh) via block squeeze — NOT an in-kernel reshape of
+            # the (B, Dh) row, which Mosaic cannot lower at small B/Dh
+            kn = kn_ref[:, 0].astype(k.dtype)           # (B, 1, Dh)
+            vn = vn_ref[:, 0].astype(v.dtype)
         # flush only the S-block containing the slot (aliased cache)
         blk = slot // block_s
         off = slot - blk * block_s
@@ -106,16 +129,39 @@ def _attend_out_kernel(
         )
         k_blk = k_ref[:, 0, pl.ds(blk * block_s, block_s), :]
         v_blk = v_ref[:, 0, pl.ds(blk * block_s, block_s), :]
-        ko_ref[:, 0] = jnp.where(in_blk, kn, k_blk)
-        vo_ref[:, 0] = jnp.where(in_blk, vn, v_blk)
+        if int8kv:
+            ko_ref[:, 0] = jnp.where(
+                in_blk, kn, k_blk.astype(jnp.float32)
+            ).astype(ko_ref.dtype)
+            vo_ref[:, 0] = jnp.where(
+                in_blk, vn, v_blk.astype(jnp.float32)
+            ).astype(vo_ref.dtype)
+        else:
+            ko_ref[:, 0] = jnp.where(in_blk, kn, k_blk)
+            vo_ref[:, 0] = jnp.where(in_blk, vn, v_blk)
         # overlay the new token in-register for this step's attention
         at_slot = (
             jax.lax.broadcasted_iota(jnp.int32, (1, kv_len, 1), 1) == slot
         )
-        k = jnp.where(at_slot, kn, k)
-        v = jnp.where(at_slot, vn, v)
+        if int8kv:
+            k = jnp.where(at_slot, kn, k.astype(jnp.float32))
+            v = jnp.where(at_slot, vn, v.astype(jnp.float32))
+            at_slot2 = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, kv_len), 1) == slot
+            )
+            ks = jnp.where(at_slot2, s_kn[:, :, 0], ks)
+            vs = jnp.where(at_slot2, s_vn[:, :, 0], vs)
+            # scale planes are tiny: write the full overlaid (B, S) row
+            # ((B,1,S)-style slot blocks are not Mosaic-lowerable)
+            kso_ref[0] = ks
+            vso_ref[0] = vs
+        else:
+            k = jnp.where(at_slot, kn, k)
+            v = jnp.where(at_slot, vn, v)
 
     s = jnp.sum(q[:, None, :] * k.astype(jnp.float32), axis=-1)  # (B, S)
+    if int8kv:
+        s = s * ks                                      # dequant logits
     if use_alibi:
         k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # slope arrives as this head's (1, 1, 1) block — a dynamic lane
@@ -127,7 +173,10 @@ def _attend_out_kernel(
     p = jnp.where(valid, jnp.exp(s - m), 0.0)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     denom = jnp.where(denom == 0.0, 1.0, denom)          # all-masked -> 0
-    a = jnp.sum((p / denom)[..., None] * v.astype(jnp.float32), axis=1)
+    pw = p / denom
+    if int8kv:
+        pw = pw * vs                                    # dequant values
+    a = jnp.sum(pw[..., None] * v.astype(jnp.float32), axis=1)
 
     wmat = wout_ref[0]
     mm_dtype = y_ref.dtype if wmat.dtype == jnp.int8 else wmat.dtype
@@ -170,16 +219,24 @@ def attend_out_decode(
     gate: Optional[jax.Array] = None,     # scalar: y *= tanh(gate)
     residual: Optional[jax.Array] = None,  # (B, D)
     layer_idx=None,          # scalar int32: stacked per-layer operands
+    k_scale: Optional[jax.Array] = None,  # (B, H_kv, S) int8-cache scales
+    v_scale: Optional[jax.Array] = None,
     block_s: int = 16,
     interpret: Optional[bool] = None,
 ):
     """One-launch attention tail. Returns y (B, D), or
-    (y, k_cache', v_cache') when k_new/v_new are given.
+    (y, k_cache', v_cache') when k_new/v_new are given — plus
+    (k_scale', v_scale') when the cache is int8.
 
     GQA (llama num_kv_heads < num_heads): k/v caches and k_new/v_new
     carry H_kv heads; query head hh reads kv head hh // n_rep via the
     block index maps — no repeat_kv materialization, the grouped cache
     streams once per query-head group.
+
+    int8 cache (k_scale/v_scale given): k/v caches are int8 with
+    per-token scales; the kernel dequantizes in-register (logits and
+    softmax weights scaled per key slot) and quantizes k_new/v_new
+    in-kernel, writing value + scale at the slot.
 
     layer_idx (scan decode): wout/wout_scale/bias/gate carry a leading
     L axis; the block index maps select the layer via scalar prefetch
@@ -201,6 +258,7 @@ def attend_out_decode(
     d = wout.shape[-1]
     update = k_new is not None
     stacked = layer_idx is not None
+    int8kv = k_scale is not None
     block_s = _pick_block_s(s_max, block_s)
 
     if slopes is None:
@@ -254,6 +312,20 @@ def attend_out_decode(
             pl.BlockSpec((b, 1, 1, dh),
                          lambda hh, slot: (0, hh // n_rep, 0, 0)),
         ]
+    if int8kv:
+        # head-leading (H_kv, B, S) scale layout: full (B, S) planes in
+        # the last two dims (Mosaic block-legal at any B/S)
+        if cache_stacked:
+            sc_spec = pl.BlockSpec(
+                (None, 1, b, s_max),
+                lambda hh, slot: (slot[1], hh // n_rep, 0, 0),
+            )
+        else:
+            sc_spec = pl.BlockSpec(
+                (1, b, s_max), lambda hh, slot: (hh // n_rep, 0, 0)
+            )
+        operands += [k_scale, v_scale]
+        in_specs += [sc_spec, sc_spec]
 
     def vec(v, dim):
         v = jnp.asarray(v)
@@ -301,6 +373,14 @@ def attend_out_decode(
         ]
         # positional: (slot, q, k, v, mask, slopes, wout, k_new, v_new...)
         aliases = {2: 1, 3: 2}
+        if int8kv:
+            out_specs += [sc_spec, sc_spec]   # full-plane scale write
+            out_shape += [
+                jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+            ]
+            # ks/vs operands sit after k_new/v_new (args 9, 10)
+            aliases = {2: 1, 3: 2, 9: 3, 10: 4}
 
     kernel = functools.partial(
         _attend_out_kernel,
@@ -308,7 +388,7 @@ def attend_out_decode(
         use_alibi=slopes is not None, update=update,
         has_bias=bias is not None,
         has_gate=gate is not None, has_residual=residual is not None,
-        has_wscale=wout_scale is not None,
+        has_wscale=wout_scale is not None, int8kv=int8kv,
     )
     res = pl.pallas_call(
         kernel,
@@ -324,6 +404,8 @@ def attend_out_decode(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(slot1, *operands)
+    if update and int8kv:
+        return res[0], res[1], res[2], res[3], res[4]
     if update:
         return res[0], res[1], res[2]
     return res[0]
@@ -335,7 +417,7 @@ def _attn_block_kernel(
     wq_ref,         # (D, G*Dh) — this group's q columns
     *rest,
     group, head_dim, kv_len, block_s, eps, clip, scale, use_alibi,
-    proj_kv, has_ln_bias, has_gate, has_wqs, has_wouts,
+    proj_kv, has_ln_bias, has_gate, has_wqs, has_wouts, int8kv,
 ):
     i = 0
     wk_ref = wv_ref = None
@@ -348,6 +430,10 @@ def _attn_block_kernel(
     wout_ref = rest[i + 4]                   # (G*Dh, D)
     ln_s_ref = rest[i + 5]
     i += 6
+    ks_ref = vs_ref = None
+    if int8kv:
+        ks_ref, vs_ref = rest[i], rest[i + 1]   # (B, G, S) f32 scales
+        i += 2
     wqs_ref = wks_ref = wvs_ref = wouts_ref = None
     if has_wqs:
         wqs_ref = rest[i]
@@ -367,6 +453,9 @@ def _attn_block_kernel(
     if proj_kv:
         ko_ref, vo_ref = rest[i], rest[i + 1]   # (B, G, BS, Dh)
         i += 2
+        if int8kv:
+            kso_ref, vso_ref = rest[i], rest[i + 1]   # (B, G, BS)
+            i += 2
     acc_ref = rest[i]
 
     g = pl.program_id(0)
@@ -415,6 +504,9 @@ def _attn_block_kernel(
         q_i = qg[:, sl] * scale                   # (B, Dh) f32
         k_i = k_ref[:, hh]                        # (B, S, Dh)
         v_i = v_ref[:, hh]
+        if int8kv:
+            ks_i = ks_ref[hh]                     # (B, S) f32
+            vs_i = vs_ref[hh]
         if proj_kv:
             # the (B, Dh) -> (B, 1, Dh) expansion stays f32: Mosaic
             # cannot materialize a bf16 (B, 1, Dh) vector below 16
@@ -428,6 +520,24 @@ def _attn_block_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (1, block_s, 1), 1)
                 == off
             )
+            if int8kv:
+                # quantize the new token in-kernel; attend to the
+                # quantized value (what later steps read back)
+                k_amax = jnp.max(jnp.abs(kn), axis=-1, keepdims=True)
+                v_amax = jnp.max(jnp.abs(vn), axis=-1, keepdims=True)
+                s_kn = jnp.where(k_amax == 0.0, 1.0, k_amax / 127.0)
+                s_vn = jnp.where(v_amax == 0.0, 1.0, v_amax / 127.0)
+                kn = jnp.clip(jnp.round(kn / s_kn), -127, 127)
+                vn = jnp.clip(jnp.round(vn / s_vn), -127, 127)
+                at_slot2 = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, kv_len), 1)
+                    == slot
+                )
+                ks_i = jnp.where(at_slot2, s_kn[:, :, 0], ks_i)
+                vs_i = jnp.where(at_slot2, s_vn[:, :, 0], vs_i)
+                # scale planes are tiny: full-plane overlaid write
+                kso_ref[hh] = ks_i
+                vso_ref[hh] = vs_i
             k_blk = k_ref[:, hh, pl.ds(blk * block_s, block_s), :]
             v_blk = v_ref[:, hh, pl.ds(blk * block_s, block_s), :]
             ko_ref[:, hh] = jnp.where(
@@ -444,6 +554,8 @@ def _attn_block_kernel(
             v_i = jnp.where(at_slot, vn, v_i.astype(jnp.float32))
 
         s = jnp.sum(q_i[:, None, :] * k_i.astype(jnp.float32), axis=-1)
+        if int8kv:
+            s = s * ks_i                             # dequant logits
         if use_alibi:
             k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = s + slope_ref[hh] * (
@@ -455,7 +567,10 @@ def _attn_block_kernel(
         p = jnp.where(valid, jnp.exp(s - m), 0.0)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         denom = jnp.where(denom == 0.0, 1.0, denom)   # all-masked -> 0
-        a = jnp.sum((p / denom)[..., None] * v_i.astype(jnp.float32), axis=1)
+        pw = p / denom
+        if int8kv:
+            pw = pw * vs_i                           # dequant values
+        a = jnp.sum(pw[..., None] * v_i.astype(jnp.float32), axis=1)
         wo = wout_ref[sl, :]
         if wo.dtype == jnp.int8:
             wo = wo.astype(x.dtype)
@@ -497,6 +612,8 @@ def attn_block_decode(
     wq_scale: Optional[jax.Array] = None,   # (3*H*Dh,) / (H*Dh,) int8
     wout_scale: Optional[jax.Array] = None,  # (D,) int8 wout scales
     layer_idx=None,          # scalar int32: stacked per-layer operands
+    k_scale: Optional[jax.Array] = None,  # (B, H, S) int8-cache scales
+    v_scale: Optional[jax.Array] = None,
     eps: float = 1e-5,
     head_block: int = 8,
     block_s: int = 16,
@@ -506,7 +623,8 @@ def attn_block_decode(
     head groups: LN + q[/k/v] projection (weight column blocks — the
     fused Wqkv is indexed in place, never transposed) + cache write +
     masked attend (+ALiBi) + out-projection accumulate (+tanh gate) +
-    residual. Returns y or (y, k_cache', v_cache') with fused_qkv.
+    residual. Returns y or (y, k_cache', v_cache') with fused_qkv —
+    plus (k_scale', v_scale') when the cache is int8 (k_scale given).
 
     layer_idx (scan decode): wq/wout/ln/scales/gate carry a leading L
     axis, block-indexed via scalar prefetch [slot, layer]."""
@@ -520,6 +638,7 @@ def attn_block_decode(
         assert layer_idx is not None
     s_max = k_cache.shape[2 + cache_stacked]
     stacked = layer_idx is not None
+    int8kv = k_scale is not None
     g = head_block
     while h % g:
         g //= 2
@@ -583,6 +702,19 @@ def attn_block_decode(
         pl.BlockSpec(sshape((gdh, d)), smap(lambda gg: (gg, 0))),
         pl.BlockSpec(sshape((1, d)), smap(lambda gg: (0, 0))),
     ]
+    if int8kv:
+        # head-leading (H, B, S) scales: per-group leading slice, full
+        # (B, S) planes in the last two dims (Mosaic block-legal)
+        if cache_stacked:
+            sc_spec = pl.BlockSpec(
+                (None, g, b, s_max), lambda gg, slot: (slot[1], gg, 0, 0)
+            )
+        else:
+            sc_spec = pl.BlockSpec(
+                (g, b, s_max), lambda gg, slot: (gg, 0, 0)
+            )
+        operands += [k_scale, v_scale]
+        in_specs += [sc_spec, sc_spec]
     if wq_scale is not None:
         ws = jnp.asarray(wq_scale, jnp.float32)
         ws = ws.reshape(-1, 1, ws.shape[-1]) if stacked else ws.reshape(1, -1)
@@ -634,6 +766,14 @@ def attn_block_decode(
         ]
         # positional: (slot=0, x=1, wq=2, wk=3, wv=4, k=5, v=6, ...)
         aliases = {5: 1, 6: 2}
+        if int8kv:
+            out_specs += [sc_spec, sc_spec]   # full-plane scale write
+            out_shape += [
+                jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+            ]
+            # ks/vs operands sit after ln_scale (args 11, 12)
+            aliases = {5: 1, 6: 2, 11: 3, 12: 4}
 
     kernel = functools.partial(
         _attn_block_kernel,
@@ -643,6 +783,7 @@ def attn_block_decode(
         has_gate=gate is not None,
         has_wqs=wq_scale is not None,
         has_wouts=wout_scale is not None,
+        int8kv=int8kv,
     )
     res = pl.pallas_call(
         kernel,
@@ -658,6 +799,8 @@ def attn_block_decode(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(slot1, *operands)
+    if fused_qkv and int8kv:
+        return res[0], res[1], res[2], res[3], res[4]
     if fused_qkv:
         return res[0], res[1], res[2]
     return res[0]
@@ -666,17 +809,58 @@ def attn_block_decode(
 def reference_attend_out(
     q, k, v, mask, wout, *, scale, k_new=None, v_new=None, slot=None,
     slopes=None, wout_scale=None, bias=None, gate=None, residual=None,
+    k_scale=None, v_scale=None,
 ):
     """jnp semantics mirror (parity tests). wout: (H, Dh, D). GQA:
-    k/v may carry H_kv = H / n_rep heads."""
+    k/v may carry H_kv = H / n_rep heads. int8 cache: k/v int8 with
+    per-token scales in the head-leading (H_kv, B, S) layout — mirrors
+    the kernel's in-register dequant and the in-kernel quantization of
+    the new token."""
     if wout.dtype == jnp.int8:
         wout = wout.astype(q.dtype)
     b, h, dh = q.shape
     s_max = k.shape[2]
+    int8kv = k_scale is not None
+    if int8kv:
+        from ..models.decoders.common import kv_scale_layout, quantize_kv
+
+        if k_new is not None:
+            kn_q, kn_s = quantize_kv(k_new)     # scale (B, H_kv)
+            vn_q, vn_s = quantize_kv(v_new)
+            k = k.at[:, :, slot].set(kn_q)
+            v = v.at[:, :, slot].set(vn_q)
+            k_scale = k_scale.at[:, :, slot].set(kn_s.T)
+            v_scale = v_scale.at[:, :, slot].set(vn_s.T)
+        kv_out = (k, v, k_scale, v_scale)
+        k = k.astype(jnp.float32) * kv_scale_layout(k_scale)[..., None]
+        v = v.astype(jnp.float32) * kv_scale_layout(v_scale)[..., None]
+        out = _reference_attend_core(
+            q, k, v, mask, wout, scale=scale, slopes=slopes,
+            wout_scale=wout_scale, bias=bias, gate=gate, residual=residual,
+            s_max=s_max,
+        )
+        if k_new is not None:
+            return (out, *kv_out)
+        return out
     if k_new is not None:
         k = k.at[:, :, slot].set(k_new.astype(k.dtype))
         v = v.at[:, :, slot].set(v_new.astype(v.dtype))
     kv_out = (k, v)
+    out = _reference_attend_core(
+        q, k, v, mask, wout, scale=scale, slopes=slopes,
+        wout_scale=wout_scale, bias=bias, gate=gate, residual=residual,
+        s_max=s_max,
+    )
+    if k_new is not None:
+        return out, kv_out[0], kv_out[1]
+    return out
+
+
+def _reference_attend_core(
+    q, k, v, mask, wout, *, scale, slopes, wout_scale, bias, gate,
+    residual, s_max,
+):
+    h = q.shape[1]
     n_rep = h // k.shape[1]
     if n_rep > 1:
         k = jnp.repeat(k, n_rep, axis=1)
@@ -695,6 +879,8 @@ def reference_attend_out(
     denom = p.sum(-1, keepdims=True)
     denom = jnp.where(denom == 0.0, 1.0, denom)
     a = jnp.einsum("bhs,bhsd->bhd", p / denom, v.astype(jnp.float32))
+    if wout.dtype == jnp.int8:
+        wout = wout.astype(q.dtype)
     y = jnp.einsum("bhd,hdo->bo", a.astype(wout.dtype), wout)
     if wout_scale is not None:
         y = y * wout_scale.astype(y.dtype)
@@ -704,7 +890,4 @@ def reference_attend_out(
         y = y * jnp.tanh(jnp.asarray(gate, jnp.float32)).reshape(())
     if residual is not None:
         y = y + residual.astype(y.dtype)
-    out = y.astype(q.dtype)
-    if k_new is not None:
-        return out, kv_out[0], kv_out[1]
-    return out
+    return y.astype(q.dtype)
