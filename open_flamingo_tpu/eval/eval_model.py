@@ -12,6 +12,7 @@ cache is a value, so "uncache_media" is simply not reusing it.
 from __future__ import annotations
 
 import abc
+from collections import OrderedDict
 from typing import List
 
 import jax
@@ -68,14 +69,29 @@ class OpenFlamingoEvalModel(BaseEvalModel):
     already-preprocessed (H, W, C) arrays or PIL images."""
 
     def __init__(self, model: Flamingo, params, image_processor, tokenizer,
-                 max_prompt_tokens: int = 2000, int8_kv: bool = False):
+                 max_prompt_tokens: int = 2000, int8_kv: bool = False,
+                 cache_media_latents: bool = False,
+                 media_latents_cache_size: int = 4096,
+                 media_encode_chunk: int = 16):
         self.model = model
         self.params = params
         self.image_processor = image_processor
         self.tokenizer = tokenizer
         self.max_prompt_tokens = max_prompt_tokens
         self.int8_kv = int8_kv
+        self.cache_media_latents = cache_media_latents
+        self.media_latents_cache_size = media_latents_cache_size
+        self.media_encode_chunk = media_encode_chunk
         self._gen_cache = {}
+        # content-keyed LRU of per-image perceiver latents (n_lat, D).
+        # k-shot eval re-draws demos from a fixed query pool
+        # (eval/utils.py get_query_set), so the same images hit the ViT
+        # over and over — latents are per-image independent (one media
+        # slot each, Flamingo.embed_vision), so encode once and gather.
+        self._latents_cache: "OrderedDict" = OrderedDict()
+        self._embed_fn = jax.jit(
+            lambda p, vx: self.model.apply(p, vx, method=Flamingo.embed_vision)
+        )
 
     # --- input prep (models/open_flamingo.py:65-121) -----------------------
     def _prepare_images(self, batch: List[list]) -> jax.Array:
@@ -94,6 +110,52 @@ class OpenFlamingoEvalModel(BaseEvalModel):
         if isinstance(im, np.ndarray):
             return im.astype(np.float32)
         return np.asarray(self.image_processor(im), np.float32)
+
+    # --- demo-latent cache --------------------------------------------------
+    def _media_latents(self, batch: List[list]) -> jax.Array:
+        """(B, T_img, n_lat, D) perceiver latents with each UNIQUE image
+        (content-keyed on the preprocessed pixels) encoded exactly once.
+        k-shot eval re-encodes ~(k+1)x fewer images this way: only the
+        query image is typically new per sample. Misses are encoded in
+        fixed-size chunks (one extra ViT compile, zero-padded tail)."""
+        t_img = max(len(x) for x in batch)
+        rows = [[self._to_array(im) for im in row] for row in batch]
+        h, w, c = rows[0][0].shape
+        zero = np.zeros((h, w, c), np.float32)
+        keys, miss = [], {}
+        for row in rows:
+            krow = []
+            for a in row + [zero] * (t_img - len(row)):
+                key = hash(a.tobytes())
+                krow.append(key)
+                if key not in self._latents_cache and key not in miss:
+                    miss[key] = a
+            keys.append(krow)
+        if miss:
+            chunk = self.media_encode_chunk
+            items = list(miss.items())
+            for s in range(0, len(items), chunk):
+                part = items[s : s + chunk]
+                x = np.zeros((chunk, 1, 1, h, w, c), np.float32)
+                for i, (_, a) in enumerate(part):
+                    x[i, 0, 0] = a
+                lat = np.asarray(self._embed_fn(
+                    self.params, jnp.asarray(x, self.model.dtype)
+                ))                                        # (chunk, 1, n_lat, D)
+                for i, (kkey, _) in enumerate(part):
+                    self._latents_cache[kkey] = lat[i, 0]
+                    self._latents_cache.move_to_end(kkey)
+        n_lat, d = next(iter(self._latents_cache.values())).shape
+        out = np.zeros((len(batch), t_img, n_lat, d),
+                       self._latents_cache[keys[0][0]].dtype)
+        for i, krow in enumerate(keys):
+            for j, key in enumerate(krow):
+                out[i, j] = self._latents_cache[key]
+                self._latents_cache.move_to_end(key)
+        # evict AFTER the gather so this batch's keys are never dropped
+        while len(self._latents_cache) > self.media_latents_cache_size:
+            self._latents_cache.popitem(last=False)
+        return jnp.asarray(out)
 
     def _prepare_text(self, batch_text: List[str]):
         self.tokenizer.padding_side = "left"
@@ -119,7 +181,10 @@ class OpenFlamingoEvalModel(BaseEvalModel):
         num_beams: int = 3,
         length_penalty: float = 0.0,
     ) -> List[str]:
-        vision_x = self._prepare_images(batch_images)
+        if self.cache_media_latents:
+            vision_x, media_latents = None, self._media_latents(batch_images)
+        else:
+            vision_x, media_latents = self._prepare_images(batch_images), None
         ids, mask = self._prepare_text(batch_text)
         cfg = GenerationConfig(
             max_new_tokens=max_generation_length,
@@ -131,7 +196,8 @@ class OpenFlamingoEvalModel(BaseEvalModel):
             int8_kv=self.int8_kv,
         )
         out = flamingo_generate(
-            self.model, self.params, vision_x, ids, mask, cfg
+            self.model, self.params, vision_x, ids, mask, cfg,
+            media_latents=media_latents,
         )
         return self.tokenizer.batch_decode(
             np.asarray(out), skip_special_tokens=True
@@ -155,7 +221,6 @@ class OpenFlamingoEvalModel(BaseEvalModel):
         models/open_flamingo.py:155-254); use_cache=False re-runs the full
         forward over context+classname per class (the reference's
         --no_caching_for_classification path, eval/evaluate.py:79,658)."""
-        vision_x = self._prepare_images(batch_images)
         ids, mask = self._prepare_text(batch_text)
         b, t_ctx = ids.shape
 
@@ -168,9 +233,13 @@ class OpenFlamingoEvalModel(BaseEvalModel):
         class_mask = jnp.asarray(enc["attention_mask"], jnp.int32)
         n_classes, w = class_ids.shape
 
-        latents = self.model.apply(
-            self.params, vision_x, method=Flamingo.embed_vision
-        )
+        if self.cache_media_latents:
+            latents = self._media_latents(batch_images).astype(self.model.dtype)
+        else:
+            latents = self.model.apply(
+                self.params, self._prepare_images(batch_images),
+                method=Flamingo.embed_vision,
+            )
         n_media = count_media(ids, self.model.cfg.media_token_id)
 
         if not use_cache:

@@ -356,6 +356,13 @@ def build_parser():
                    help="int8 KV + media caches with per-token scales: "
                         "halves the per-step cache DMA (scan-engine "
                         "decode only; silently bf16 elsewhere)")
+    p.add_argument("--cache_demo_latents", action="store_true",
+                   help="content-keyed LRU cache of per-image perceiver "
+                        "latents: k-shot demos drawn from the fixed query "
+                        "pool hit the ViT once instead of once per sample "
+                        "(~(k+1)x less vision compute)")
+    p.add_argument("--demo_latents_cache_size", type=int, default=4096,
+                   help="max cached demo latents (each n_latents x D)")
     # benchmarks
     for name in ("coco", "flickr"):
         p.add_argument(f"--eval_{name}", action="store_true")
@@ -448,6 +455,8 @@ def main(argv=None, *, eval_model=None):
         eval_model = OpenFlamingoEvalModel(
             model, params, image_processor, tokenizer,
             int8_kv=args.int8_kv,
+            cache_media_latents=args.cache_demo_latents,
+            media_latents_cache_size=args.demo_latents_cache_size,
         )
 
     rices_encoder = None

@@ -255,16 +255,21 @@ def beam_search(
 def flamingo_generate(
     model: Flamingo,
     params,
-    vision_x: jax.Array,
+    vision_x: Optional[jax.Array],
     lang_x: jax.Array,
     attention_mask: jax.Array,
     cfg: GenerationConfig,
     rng: Optional[jax.Array] = None,
+    media_latents: Optional[jax.Array] = None,
 ) -> jax.Array:
     """End-to-end generation mirroring Flamingo.generate
     (open_flamingo/src/flamingo.py:124-175): encode vision once, replicate
     per beam, prefill, decode with cached media. Returns generated ids
-    (B, max_new_tokens) (prompt not included)."""
+    (B, max_new_tokens) (prompt not included).
+
+    media_latents: precomputed (B, T_img, n_latents, D) perceiver
+    latents — skips the vision encode entirely (the eval harness's
+    demo-latent cache computes each unique image's latents once)."""
     b, t = lang_x.shape
     k = cfg.num_beams
     # round the cache up to the fused decode kernels' S-block quantum
@@ -282,7 +287,10 @@ def flamingo_generate(
     ):
         dense_stream.note_params_sharding(params)
 
-    latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
+    if media_latents is not None:
+        latents = media_latents.astype(model.dtype)
+    else:
+        latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
     n_media = count_media(lang_x, model.cfg.media_token_id)
 
     if k > 1:

@@ -244,3 +244,98 @@ def test_evaluate_classification_end_to_end(eval_setup, tmp_path, rng):
         metric="roc_auc",
     )
     assert score is not None and np.isfinite(score)
+
+
+# --- demo-latent cache -------------------------------------------------------
+
+
+def _cached_eval_model(eval_setup):
+    em, tok = eval_setup
+    return OpenFlamingoEvalModel(
+        em.model, em.params, em.image_processor, em.tokenizer,
+        cache_media_latents=True, media_encode_chunk=4,
+    ), tok
+
+
+def test_demo_latent_cache_matches_direct(eval_setup, rng):
+    """Cached-latent generate == direct vision_x generate (same images),
+    and repeated images are encoded exactly once."""
+    em, tok = eval_setup
+    emc, _ = _cached_eval_model(eval_setup)
+    demo = _pil_image(rng)
+    texts = [
+        em.get_caption_prompt("a demo") + em.get_caption_prompt(),
+        em.get_caption_prompt("a demo") + em.get_caption_prompt(),
+    ]
+    images = [[demo, _pil_image(rng)], [demo, _pil_image(rng)]]
+    want = em.get_outputs(texts, images, 0, 4, num_beams=1,
+                          length_penalty=0.0)
+    got = emc.get_outputs(texts, images, 0, 4, num_beams=1,
+                          length_penalty=0.0)
+    assert got == want
+    # 3 unique images (demo shared) + the pad-slot zero image is absent
+    # here (both rows full) -> 3 cache entries
+    assert len(emc._latents_cache) == 3
+    # second call with the same images: all hits, no new entries
+    emc.get_outputs(texts, images, 0, 4, num_beams=1, length_penalty=0.0)
+    assert len(emc._latents_cache) == 3
+
+
+def test_demo_latent_cache_latents_match_embed_vision(eval_setup, rng):
+    """Per-image cached latents == Flamingo.embed_vision on the batch."""
+    from open_flamingo_tpu.models.flamingo import Flamingo
+
+    emc, _ = _cached_eval_model(eval_setup)
+    images = [[_pil_image(rng)], [_pil_image(rng)]]
+    got = np.asarray(emc._media_latents(images), np.float32)
+    vx = emc._prepare_images(images)
+    want = np.asarray(emc.model.apply(
+        emc.params, vx, method=Flamingo.embed_vision
+    ), np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_demo_latent_cache_ragged_rows(eval_setup, rng):
+    """Rows with fewer images: pad slots use the zero image's latents
+    (identical to _prepare_images' zero padding)."""
+    emc, _ = _cached_eval_model(eval_setup)
+    em, _ = eval_setup
+    texts = [
+        em.get_caption_prompt("a demo") + em.get_caption_prompt(),
+        em.get_caption_prompt(),
+    ]
+    images = [[_pil_image(rng), _pil_image(rng)], [_pil_image(rng)]]
+    want = em.get_outputs(texts, images, 0, 4, num_beams=1,
+                          length_penalty=0.0)
+    got = emc.get_outputs(texts, images, 0, 4, num_beams=1,
+                          length_penalty=0.0)
+    assert got == want
+
+
+def test_demo_latent_cache_rank_classification(eval_setup, rng):
+    emc, _ = _cached_eval_model(eval_setup)
+    em, _ = eval_setup
+    texts = [em.get_imagenet_prompt()]
+    images = [[_pil_image(rng)]]
+    names = ["cat", "dog", "fish"]
+    want = em.get_rank_classifications(texts, images, names)
+    got = emc.get_rank_classifications(texts, images, names)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_demo_latent_cache_lru_eviction(eval_setup, rng):
+    emc, _ = _cached_eval_model(eval_setup)
+    emc.media_latents_cache_size = 2
+    em, _ = eval_setup
+    texts = [em.get_caption_prompt()] * 1
+    imgs = [_pil_image(rng) for _ in range(4)]
+    for im in imgs:
+        emc.get_outputs([em.get_caption_prompt()], [[im]], 0, 2,
+                        num_beams=1, length_penalty=0.0)
+    assert len(emc._latents_cache) == 2
+    # most-recent two survive
+    out = em.get_outputs([em.get_caption_prompt()], [[imgs[-1]]], 0, 2,
+                         num_beams=1, length_penalty=0.0)
+    got = emc.get_outputs([em.get_caption_prompt()], [[imgs[-1]]], 0, 2,
+                          num_beams=1, length_penalty=0.0)
+    assert got == out
