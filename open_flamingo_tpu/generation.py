@@ -18,7 +18,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .models.decoders.common import KVCache
+from .models.decoders.common import KVCache, LayerKV
 from .models.flamingo import Flamingo, count_media
 
 NEG_INF = jnp.float32(-1.0e7)
@@ -112,36 +112,37 @@ def greedy_or_sample(
 
 
 def _gather_beams(tree, indices, batch, beams):
-    """Gather along the beam axis of arrays shaped (batch*beams, ...).
+    """Gather along the beam axis of a KVCache's arrays.
+
+    The batch axis position is taken from each LayerKV field explicitly
+    (k/v: axis 0, or 1 group-stacked; int8 scales are head-leading
+    (H_kv, B*K, S): axis 1, or 2 stacked) — shape-based guessing is
+    unsound (H_kv or G can equal batch*beams).
 
     A KVCache's `media` field is skipped: all beams of a batch element
     share the same (replicated) prompt media, so the gather would be an
     identity permutation — copying megabytes of static K/V per step."""
-    media = getattr(tree, "media", None)
-    if media is not None:
-        tree = tree.replace(media=None)
 
-    def g(x):
-        if not hasattr(x, "shape") or x.ndim == 0:
-            return x
-        if x.shape[0] == batch * beams:
-            xr = x.reshape(batch, beams, *x.shape[1:])
-            idx = indices.reshape(batch, beams, *([1] * (x.ndim - 1)))
-            out = jnp.take_along_axis(xr, idx, axis=1)
-            return out.reshape(batch * beams, *x.shape[1:])
-        if x.ndim >= 2 and x.shape[1] == batch * beams:
-            # group-stacked scan cache (G, B*K, ...): beams on axis 1
-            gdim = x.shape[0]
-            xr = x.reshape(gdim, batch, beams, *x.shape[2:])
-            idx = indices.reshape(1, batch, beams, *([1] * (x.ndim - 2)))
-            out = jnp.take_along_axis(xr, idx, axis=2)
-            return out.reshape(gdim, batch * beams, *x.shape[2:])
-        return x
+    def gather_axis(x, axis):
+        if x is None:
+            return None
+        xr = x.reshape(*x.shape[:axis], batch, beams, *x.shape[axis + 1:])
+        idx = indices.reshape(
+            *([1] * axis), batch, beams, *([1] * (x.ndim - axis - 1))
+        )
+        return jnp.take_along_axis(xr, idx, axis=axis + 1).reshape(x.shape)
 
-    out = jax.tree.map(g, tree)
-    if media is not None:
-        out = out.replace(media=media)
-    return out
+    def g_layer(l):
+        ax = 1 if l.k.ndim == 5 else 0      # group-stacked scan cache
+        return LayerKV(
+            k=gather_axis(l.k, ax), v=gather_axis(l.v, ax),
+            k_s=gather_axis(l.k_s, ax + 1), v_s=gather_axis(l.v_s, ax + 1),
+        )
+
+    return tree.replace(
+        layers=tuple(g_layer(l) for l in tree.layers),
+        pad_mask=gather_axis(tree.pad_mask, 0),
+    )
 
 
 def beam_search(
@@ -312,7 +313,6 @@ def flamingo_generate(
     # read raw int8 — see _can_scan_fused_decode)
     int8_kv = (
         cfg.int8_kv
-        and k == 1   # beam gather doesn't know the (H, B, S) scale layout
         and scan_groups is not None
         and dense_stream.use_fused_decode(1, True)
         and dense_stream.fused_head_dim_ok(model.cfg.lm.head_dim)

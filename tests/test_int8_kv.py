@@ -278,3 +278,95 @@ def test_int8_kv_gate_off_unscanned(rng, monkeypatch):
     )
     flamingo_generate(model, params, vision_x, ids, mask, gen)
     assert created["int8"] is False
+
+
+def test_gather_beams_int8_scales_follow_values(rng):
+    """_gather_beams on an int8 stacked cache: the head-leading scale
+    planes must be permuted with the SAME beam indices as the values."""
+    from open_flamingo_tpu.generation import _gather_beams
+
+    G, b, k, h, s, dh = 2, 2, 3, 4, 8, 8
+    bk = b * k
+    kf = jnp.asarray(rng.normal(size=(G, bk, h, s, dh)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(G, bk, h, s, dh)), jnp.float32)
+    kq, ks = qkv_cache(kf)          # scales (G, H, BK, S)
+    vq, vs = qkv_cache(vf)
+    cache = KVCache(
+        layers=(LayerKV(k=kq, v=vq, k_s=ks, v_s=vs),),
+        index=jnp.asarray(3, jnp.int32),
+        pad_mask=jnp.asarray(rng.integers(0, 2, size=(bk, s)), bool),
+    )
+    idx = jnp.asarray(rng.integers(0, k, size=(b, k)), jnp.int32)
+    out = _gather_beams(cache, idx, b, k)
+    l, li = out.layers[0], cache.layers[0]
+    for bi in range(b):
+        for ki in range(k):
+            src = bi * k + int(idx[bi, ki])
+            dst = bi * k + ki
+            np.testing.assert_array_equal(
+                np.asarray(l.k[:, dst]), np.asarray(li.k[:, src])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(l.k_s[:, :, dst]), np.asarray(li.k_s[:, :, src])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(l.v_s[:, :, dst]), np.asarray(li.v_s[:, :, src])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out.pad_mask[dst]),
+                np.asarray(cache.pad_mask[src]),
+            )
+    assert int(out.index) == 3
+
+
+def test_generate_int8_kv_beam_quality(rng, monkeypatch):
+    """Beam search with int8_kv: engages (spy) and matches bf16 beam
+    tokens at >=0.75 on a tiny scan model (FORCE_FUSED+INTERPRET)."""
+    from test_quantize import _tiny_family_model
+
+    from open_flamingo_tpu import generation
+    from open_flamingo_tpu.generation import (
+        GenerationConfig,
+        flamingo_generate,
+    )
+    from open_flamingo_tpu.models.flamingo import Flamingo
+    from open_flamingo_tpu.models.lm import to_scanned_layout
+    from open_flamingo_tpu.ops import dense_stream
+
+    model, params, vision_x, ids, mask = _tiny_family_model("mpt", rng)
+    lm_sc = to_scanned_layout(
+        jax.tree.map(np.asarray, params["params"]["lm"]),
+        model.cfg.lm.num_layers, model.cfg.cross_attn_every_n,
+    )
+    p = dict(params["params"])
+    p["lm"] = jax.tree.map(jnp.asarray, lm_sc)
+    params = {"params": p}
+    model = Flamingo(cfg=dataclasses.replace(model.cfg, scan_layers=True))
+
+    created = {}
+    real_create = KVCache.create
+
+    def spy(*args, **kwargs):
+        created["int8"] = kwargs.get("int8", False)
+        return real_create(*args, **kwargs)
+
+    monkeypatch.setattr(generation.KVCache, "create", spy)
+    monkeypatch.setattr(dense_stream, "FORCE_FUSED", True)
+    monkeypatch.setattr(dense_stream, "INTERPRET", True)
+    gen = GenerationConfig(
+        max_new_tokens=5, num_beams=3, pad_token_id=0,
+        eos_token_id=-1, length_penalty=0.0,
+    )
+    out_ref = np.asarray(
+        flamingo_generate(model, params, vision_x, ids, mask, gen)
+    )
+    assert created["int8"] is False
+    out_q = np.asarray(
+        flamingo_generate(
+            model, params, vision_x, ids, mask,
+            dataclasses.replace(gen, int8_kv=True),
+        )
+    )
+    assert created["int8"] is True
+    match = (out_ref == out_q).mean()
+    assert match >= 0.75, (match, out_ref, out_q)
