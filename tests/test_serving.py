@@ -1,0 +1,197 @@
+"""Continuous-batching serving engine: emitted tokens must EXACTLY
+match flamingo_generate's greedy output per request, whatever the
+admission order — late admissions, mixed prompt lengths, EOS retire,
+epoch reset. CPU/einsum path (the engine reuses the decode machinery
+unchanged, so kernel parity is covered by the decode suites)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+from open_flamingo_tpu.serving import ServingEngine
+
+from test_flamingo import tiny_flamingo
+
+IMG = 14
+
+
+def _reqs(rng, n, t_img=1, p_max=16):
+    """n requests with ragged prompt lengths, each with t_img images."""
+    model = tiny_flamingo()
+    media_id = model.cfg.media_token_id
+    out = []
+    for i in range(n):
+        p = int(rng.integers(6, p_max + 1))
+        ids = rng.integers(10, 40, size=(p,)).astype(np.int32)
+        ids[0] = media_id
+        vx = rng.normal(size=(t_img, 1, IMG, IMG, 3)).astype(np.float32)
+        out.append((vx, ids))
+    return model, out
+
+
+def _reference(model, params, reqs, max_new, eos=-1):
+    """Per-request flamingo_generate greedy tokens (B=1, exact)."""
+    cfg = GenerationConfig(
+        max_new_tokens=max_new, pad_token_id=0, eos_token_id=eos
+    )
+    outs = []
+    for vx, ids in reqs:
+        out = flamingo_generate(
+            model, params, jnp.asarray(vx[None], jnp.float32),
+            jnp.asarray(ids[None]), jnp.ones((1, len(ids)), jnp.int32),
+            cfg,
+        )
+        outs.append(np.asarray(out)[0])
+    return outs
+
+
+def _check(got, want, eos):
+    """Engine emits through EOS (no pad tail); generate pads to
+    max_new."""
+    got = np.asarray(got)
+    np.testing.assert_array_equal(got, want[: len(got)])
+    assert (eos in got) or len(got) == len(want)
+
+
+def test_serving_matches_generate_all_at_once(rng):
+    model, reqs = _reqs(rng, 5)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(reqs[0][0][None], jnp.float32),
+        jnp.asarray(reqs[0][1][None]),
+        jnp.ones((1, len(reqs[0][1])), jnp.int32),
+    )
+    want = _reference(model, params, reqs, max_new=7)
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=96, max_prompt_len=16,
+        chunk_tokens=4,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=-1),
+    )
+    rids = [eng.submit(vx, ids, max_new_tokens=7) for vx, ids in reqs]
+    res = eng.run()
+    assert set(res) == set(rids)
+    for rid, w in zip(rids, want):
+        _check(res[rid], w, eos=-1)
+
+
+def test_serving_staggered_admissions(rng):
+    """Requests submitted while others are mid-decode: late rows are
+    admitted at a later global slot and must still be exact."""
+    model, reqs = _reqs(rng, 6)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(reqs[0][0][None], jnp.float32),
+        jnp.asarray(reqs[0][1][None]),
+        jnp.ones((1, len(reqs[0][1])), jnp.int32),
+    )
+    want = _reference(model, params, reqs, max_new=6)
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=96, max_prompt_len=16,
+        chunk_tokens=3,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=-1),
+    )
+    rids = []
+    it = iter(reqs)
+    # two up-front, then one new submission after every engine step
+    for vx, ids in [next(it), next(it)]:
+        rids.append(eng.submit(vx, ids, max_new_tokens=6))
+    alive = True
+    while alive:
+        alive = eng.step()
+        nxt = next(it, None)
+        if nxt is not None:
+            rids.append(eng.submit(nxt[0], nxt[1], max_new_tokens=6))
+            alive = True
+    res = eng._results
+    assert len(res) == 6
+    for rid, w in zip(rids, want):
+        _check(res[rid], w, eos=-1)
+
+
+def test_serving_eos_retire_and_reuse(rng):
+    """A row retired by EOS is re-admitted; the tenant swap must not
+    leak cache/media state between requests. EOS is forced by using a
+    token the model actually generates."""
+    model, reqs = _reqs(rng, 4)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(reqs[0][0][None], jnp.float32),
+        jnp.asarray(reqs[0][1][None]),
+        jnp.ones((1, len(reqs[0][1])), jnp.int32),
+    )
+    probe = _reference(model, params, reqs, max_new=6)
+    eos = int(probe[0][2])          # mid-stream token -> real EOS
+    want = _reference(model, params, reqs, max_new=6, eos=eos)
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=96, max_prompt_len=16,
+        chunk_tokens=4,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=eos),
+    )
+    rids = [eng.submit(vx, ids, max_new_tokens=6) for vx, ids in reqs]
+    res = eng.run()
+    for rid, w in zip(rids, want):
+        _check(res[rid], w, eos=eos)
+
+
+def test_serving_epoch_reset(rng):
+    """More work than one epoch's slots: the engine drains, resets the
+    global index, and stays exact across the reset."""
+    model, reqs = _reqs(rng, 8)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(reqs[0][0][None], jnp.float32),
+        jnp.asarray(reqs[0][1][None]),
+        jnp.ones((1, len(reqs[0][1])), jnp.int32),
+    )
+    want = _reference(model, params, reqs, max_new=8)
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=48, max_prompt_len=16,
+        chunk_tokens=4,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=-1),
+    )
+    rids = [eng.submit(vx, ids, max_new_tokens=8) for vx, ids in reqs]
+    res = eng.run()
+    assert len(res) == 8
+    for rid, w in zip(rids, want):
+        _check(res[rid], w, eos=-1)
+
+
+def test_serving_scan_layout(rng):
+    """Scan (group-stacked) cache layout end-to-end."""
+    from open_flamingo_tpu.models.flamingo import Flamingo
+    from open_flamingo_tpu.models.lm import to_scanned_layout
+
+    model, reqs = _reqs(rng, 3)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(reqs[0][0][None], jnp.float32),
+        jnp.asarray(reqs[0][1][None]),
+        jnp.ones((1, len(reqs[0][1])), jnp.int32),
+    )
+    lm_sc = to_scanned_layout(
+        jax.tree.map(np.asarray, params["params"]["lm"]),
+        model.cfg.lm.num_layers, model.cfg.cross_attn_every_n,
+    )
+    p = dict(params["params"])
+    p["lm"] = jax.tree.map(jnp.asarray, lm_sc)
+    params = {"params": p}
+    model = Flamingo(cfg=dataclasses.replace(model.cfg, scan_layers=True))
+    want = _reference(model, params, reqs, max_new=6)
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=96, max_prompt_len=16,
+        chunk_tokens=3,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=-1),
+    )
+    rids = [eng.submit(vx, ids, max_new_tokens=6) for vx, ids in reqs]
+    res = eng.run()
+    for rid, w in zip(rids, want):
+        _check(res[rid], w, eos=-1)
