@@ -879,8 +879,7 @@ def _reference_attend_core(
     denom = p.sum(-1, keepdims=True)
     denom = jnp.where(denom == 0.0, 1.0, denom)
     a = jnp.einsum("bhs,bhsd->bhd", p / denom, v.astype(jnp.float32))
-    if wout.dtype == jnp.int8:
-        wout = wout.astype(q.dtype)
+    # wout is pre-cast by reference_attend_out (the sole caller)
     y = jnp.einsum("bhd,hdo->bo", a.astype(wout.dtype), wout)
     if wout_scale is not None:
         y = y * wout_scale.astype(y.dtype)

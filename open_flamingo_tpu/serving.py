@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .generation import NEG_INF, GenerationConfig
+from .generation import GenerationConfig, _process_logits
 from .models.decoders.common import KVCache, LayerKV
 from .models.flamingo import Flamingo, count_media
 
@@ -116,12 +116,22 @@ class ServingEngine:
             n = cfg.cross_attn_every_n or 1
             self._scan_groups = cfg.lm.num_layers // n
 
+        # model-axis-sharded params must not reach the single-chip fused
+        # decode kernels (same gate flamingo_generate applies)
+        from .ops import dense_stream
+
+        if not any(
+            isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(params)
+        ):
+            dense_stream.note_params_sharding(params)
+
         self._queue: deque = deque()
         self._rows: List[Optional[_RowState]] = [None] * batch_size
         self._results: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self._next_rid = 0
         self._idx = 0           # host mirror of cache.index
         self._draining = False
+        self.epochs = 0         # completed drain+reset cycles
 
         self._prefill_jit = jax.jit(self._prefill)
         self._admit_jit = jax.jit(self._admit, donate_argnums=(0,))
@@ -249,11 +259,9 @@ class ServingEngine:
 
         def body(carry, _):
             logits, cache, finished, step = carry
-            if cfg.eos_token_id is not None and cfg.min_new_tokens > 0:
-                forbid = step[:, None] < cfg.min_new_tokens   # (B, 1)
-                eos = jnp.zeros((logits.shape[-1],), bool)
-                eos = eos.at[cfg.eos_token_id].set(True)
-                logits = jnp.where(forbid & eos[None, :], NEG_INF, logits)
+            # per-row step vector broadcasts through _process_logits'
+            # (step < min_new) comparison — same semantics per row
+            logits = _process_logits(logits, step[:, None], cfg)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if cfg.eos_token_id is not None:
                 tok = jnp.where(finished, cfg.pad_token_id, tok)
@@ -285,6 +293,16 @@ class ServingEngine:
         input_ids/attention_mask: (P,) with P <= max_prompt_len."""
         ids = np.asarray(input_ids, np.int32)
         assert ids.shape[0] <= self.p_max
+        vision_x = np.asarray(vision_x)
+        assert vision_x.shape[0] == self.t_img, (
+            f"vision_x must carry t_img={self.t_img} media slots, "
+            f"got {vision_x.shape[0]} (fixed per engine)"
+        )
+        chunks = -(-max_new_tokens // self.chunk)
+        assert self.p_max + chunks * self.chunk <= self.s_max, (
+            f"max_new_tokens={max_new_tokens} cannot fit an epoch: "
+            f"p_max + ceil(max_new/chunk)*chunk > max_seq_len"
+        )
         mask = (np.ones_like(ids) if attention_mask is None
                 else np.asarray(attention_mask, np.int32))
         rid = self._next_rid
@@ -338,6 +356,13 @@ class ServingEngine:
         )
         self._rows[row] = None
 
+    def _fits(self, max_new: int) -> bool:
+        """A request admitted at the current slot index is live for at
+        most ceil(max_new / chunk) chunks; it fits iff that horizon
+        stays inside the cache."""
+        chunks = -(-max_new // self.chunk)
+        return self._idx + chunks * self.chunk <= self.s_max
+
     def step(self) -> bool:
         """Admit, decode one chunk, retire. Returns True while there is
         (or will be) work in flight."""
@@ -346,18 +371,29 @@ class ServingEngine:
             self._state = self._fresh_state()
             self._idx = self.p_max
             self._draining = False
+            self.epochs += 1
         if self._state is None:
             self._state = self._fresh_state()
             self._idx = self.p_max
         if not self._draining:
             for row in range(self.b):
                 if self._rows[row] is None and self._queue:
+                    # admission-time horizon check: every live row must
+                    # retire before the slot index reaches max_seq_len
+                    # (decoding past it would clamp K/V writes onto the
+                    # last slot and corrupt every row)
+                    if not self._fits(self._queue[0].max_new_tokens):
+                        self._draining = True
+                        break
                     self._admit_one(row, self._queue.popleft())
         if all(r is None for r in self._rows):
-            return bool(self._queue)
-        if self._idx + self.chunk > self.s_max:
-            # out of slots: stop admitting, let live rows finish
-            self._draining = True
+            if self._queue:
+                self._draining = True   # nothing live: reset next step
+                return True
+            return False
+        assert self._idx + self.chunk <= self.s_max, (
+            "engine invariant: live rows always fit (admission horizon)"
+        )
         self._state, toks = self._chunk_jit(self._state, self.params)
         toks = np.asarray(toks)
         self._idx += self.chunk

@@ -93,6 +93,18 @@ def speculative_generate(
     ids — EXACTLY what flamingo_generate(model, ...) greedy returns."""
     assert not cfg.do_sample, "speculative decoding is greedy-only"
     assert cfg.num_beams == 1, "speculative decoding is greedy-only"
+    # model-axis-sharded params must not reach the single-chip fused
+    # decode kernels (same gate flamingo_generate applies). One call on
+    # the combined tree: sharded if EITHER model is (tracer leaves are
+    # skipped per-leaf inside params_model_sharded).
+    from .ops import dense_stream
+
+    if not all(
+        isinstance(l, jax.core.Tracer)
+        for l in jax.tree.leaves((params, draft_params))
+    ):
+        dense_stream.note_params_sharding((params, draft_params))
+
     D = num_draft_tokens
     b, t = lang_x.shape
     max_new = cfg.max_new_tokens

@@ -142,7 +142,10 @@ def test_serving_eos_retire_and_reuse(rng):
 
 def test_serving_epoch_reset(rng):
     """More work than one epoch's slots: the engine drains, resets the
-    global index, and stays exact across the reset."""
+    global index, and stays exact across the reset. max_new=9 with
+    chunk 4 gives a 12-slot horizon that does NOT divide the 32
+    decode slots — admissions must stop early (the drain path), unlike
+    budgets that retire exactly at the last slot."""
     model, reqs = _reqs(rng, 8)
     params = model.init(
         jax.random.PRNGKey(0),
@@ -150,16 +153,17 @@ def test_serving_epoch_reset(rng):
         jnp.asarray(reqs[0][1][None]),
         jnp.ones((1, len(reqs[0][1])), jnp.int32),
     )
-    want = _reference(model, params, reqs, max_new=8)
+    want = _reference(model, params, reqs, max_new=9)
     eng = ServingEngine(
         model, params, batch_size=2, max_seq_len=48, max_prompt_len=16,
         chunk_tokens=4,
         gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
                              eos_token_id=-1),
     )
-    rids = [eng.submit(vx, ids, max_new_tokens=8) for vx, ids in reqs]
+    rids = [eng.submit(vx, ids, max_new_tokens=9) for vx, ids in reqs]
     res = eng.run()
     assert len(res) == 8
+    assert eng.epochs >= 1          # the drain/reset path actually ran
     for rid, w in zip(rids, want):
         _check(res[rid], w, eos=-1)
 
