@@ -115,7 +115,6 @@ class ServingEngine:
         if cfg.scan_layers:
             n = cfg.cross_attn_every_n or 1
             self._scan_groups = cfg.lm.num_layers // n
-
         # model-axis-sharded params must not reach the single-chip fused
         # decode kernels (same gate flamingo_generate applies)
         from .ops import dense_stream
@@ -124,6 +123,16 @@ class ServingEngine:
             isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(params)
         ):
             dense_stream.note_params_sharding(params)
+
+        # int8 KV/media caches: same gate as flamingo_generate — only
+        # where the scan fused engine consumes them (checked AFTER the
+        # sharding note so use_fused_decode sees fresh state)
+        self._int8_kv = (
+            self.gen.int8_kv
+            and self._scan_groups is not None
+            and dense_stream.use_fused_decode(1, True)
+            and dense_stream.fused_head_dim_ok(cfg.lm.head_dim)
+        )
 
         self._queue: deque = deque()
         self._rows: List[Optional[_RowState]] = [None] * batch_size
@@ -146,7 +155,7 @@ class ServingEngine:
         m = self.model
         cache = KVCache.create(
             m.cfg.lm, self.b, self.s_max, dtype=m.dtype,
-            scan_groups=self._scan_groups,
+            scan_groups=self._scan_groups, int8=self._int8_kv,
         )
         # KVCache.create aliases one zeros array across layers; the
         # donated admission graph needs each buffer unique
@@ -172,7 +181,7 @@ class ServingEngine:
         latents = m.apply(params, vision_x, method=Flamingo.embed_vision)
         cache = KVCache.create(
             m.cfg.lm, 1, self.p_max, dtype=m.dtype,
-            scan_groups=self._scan_groups,
+            scan_groups=self._scan_groups, int8=self._int8_kv,
         )
         (logits, _, cache), variables = m.apply(
             params, None, ids, mask, media_latents=latents, cache=cache,
@@ -181,6 +190,18 @@ class ServingEngine:
         from .models.lm import extract_media_kv
 
         media = extract_media_kv(variables, m.cfg.scan_layers)
+        if self._int8_kv and media is not None:
+            from .models.decoders.common import kv_scale_layout, quantize_kv
+
+            def q_layer(l):
+                kq, ks = quantize_kv(l.k)
+                vq, vs = quantize_kv(l.v)
+                return LayerKV(
+                    k=kq, v=vq,
+                    k_s=kv_scale_layout(ks), v_s=kv_scale_layout(vs),
+                )
+
+            media = tuple(q_layer(l) for l in media)
         return (
             logits[:, -1], cache.layers, media, latents,
             cache.pad_mask[0],
@@ -205,8 +226,23 @@ class ServingEngine:
                 big, pre.astype(big.dtype), (row, 0, start, 0)
             )
 
+        def merge_scale(big, pre):
+            # head-leading int8-cache scales: (H, B, S) <- (H, 1, P)
+            # (stacked: (G, H, B, S) <- (G, H, 1, P))
+            if big is None or pre is None:
+                return None
+            if stacked:
+                return jax.lax.dynamic_update_slice(
+                    big, pre, (0, 0, row, start)
+                )
+            return jax.lax.dynamic_update_slice(big, pre, (0, row, start))
+
         def merge_layer(big, pre):
-            return LayerKV(k=merge(big.k, pre.k), v=merge(big.v, pre.v))
+            return LayerKV(
+                k=merge(big.k, pre.k), v=merge(big.v, pre.v),
+                k_s=merge_scale(big.k_s, pre.k_s),
+                v_s=merge_scale(big.v_s, pre.v_s),
+            )
 
         layers = tuple(
             merge_layer(bl, pl) for bl, pl in zip(cache.layers, pre_layers)
@@ -220,6 +256,8 @@ class ServingEngine:
         def merge_media(big, pre):
             # media K/V is per-row static: (B, H, S_m, D) <- (1, ...)
             # (stacked: (G, B, H, S_m, D))
+            if big is None or pre is None:
+                return None
             if stacked:
                 return jax.lax.dynamic_update_slice(
                     big, pre.astype(big.dtype), (0, row, 0, 0, 0)
@@ -228,10 +266,22 @@ class ServingEngine:
                 big, pre.astype(big.dtype), (row, 0, 0, 0)
             )
 
+        def merge_media_scale(big, pre):
+            # (H, B, S_m) <- (H, 1, S_m) (stacked: leading G)
+            if big is None or pre is None:
+                return None
+            if stacked:
+                return jax.lax.dynamic_update_slice(big, pre, (0, 0, row, 0))
+            return jax.lax.dynamic_update_slice(big, pre, (0, row, 0))
+
         media = state["media"]
         if pre_media is not None:
             media = tuple(
-                LayerKV(k=merge_media(b.k, p.k), v=merge_media(b.v, p.v))
+                LayerKV(
+                    k=merge_media(b.k, p.k), v=merge_media(b.v, p.v),
+                    k_s=merge_media_scale(b.k_s, p.k_s),
+                    v_s=merge_media_scale(b.v_s, p.v_s),
+                )
                 for b, p in zip(media, pre_media)
             )
         return {
@@ -325,14 +375,24 @@ class ServingEngine:
         )
         if self._state["media"] is None and media is not None:
             # first admission shapes the engine media/latent containers
-            def widen(x):
-                reps = [1] * x.ndim
-                ax = 1 if self._scan_groups is not None else 0
-                reps[ax] = self.b
-                return jnp.tile(jnp.zeros_like(x), reps)
+            stacked = self._scan_groups is not None
 
+            def widen(x, ax, fill=0):
+                if x is None:
+                    return None
+                shape = list(x.shape)
+                shape[ax] = self.b
+                return jnp.full(shape, fill, x.dtype)
+
+            kv_ax = 1 if stacked else 0
+            sc_ax = 2 if stacked else 1   # head-leading scale layout
             self._state["media"] = tuple(
-                LayerKV(k=widen(l.k), v=widen(l.v)) for l in media
+                LayerKV(
+                    k=widen(l.k, kv_ax), v=widen(l.v, kv_ax),
+                    k_s=widen(l.k_s, sc_ax, fill=1),
+                    v_s=widen(l.v_s, sc_ax, fill=1),
+                )
+                for l in media
             )
         if self._state["latents"] is None:
             z = jnp.zeros_like(latents[0])

@@ -199,3 +199,57 @@ def test_serving_scan_layout(rng):
     res = eng.run()
     for rid, w in zip(rids, want):
         _check(res[rid], w, eos=-1)
+
+
+def test_serving_int8_kv_matches_generate_int8(rng, monkeypatch):
+    """Engine with int8 KV/media caches == flamingo_generate with
+    int8_kv (both quantized — same kernels, same math), scan layout,
+    FORCE_FUSED+INTERPRET. Engagement checked via the cache dtype."""
+    from open_flamingo_tpu.models.flamingo import Flamingo
+    from open_flamingo_tpu.models.lm import to_scanned_layout
+    from open_flamingo_tpu.ops import dense_stream
+    from test_quantize import _tiny_family_model
+
+    model, params, vision_x, ids, mask = _tiny_family_model("mpt", rng)
+    lm_sc = to_scanned_layout(
+        jax.tree.map(np.asarray, params["params"]["lm"]),
+        model.cfg.lm.num_layers, model.cfg.cross_attn_every_n,
+    )
+    p = dict(params["params"])
+    p["lm"] = jax.tree.map(jnp.asarray, lm_sc)
+    params = {"params": p}
+    model = Flamingo(cfg=dataclasses.replace(model.cfg, scan_layers=True))
+    monkeypatch.setattr(dense_stream, "FORCE_FUSED", True)
+    monkeypatch.setattr(dense_stream, "INTERPRET", True)
+
+    b, t = ids.shape
+    want_all = np.asarray(flamingo_generate(
+        model, params, vision_x, ids, mask,
+        GenerationConfig(max_new_tokens=6, pad_token_id=0,
+                         eos_token_id=-1, int8_kv=True),
+    ))
+
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=96,
+        max_prompt_len=16, chunk_tokens=3,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=-1, int8_kv=True),
+    )
+    assert eng._int8_kv
+    rids = []
+    for i in range(b):
+        pad = 16 - t
+        row_ids = np.concatenate(
+            [np.zeros((pad,), np.int32), np.asarray(ids[i])]
+        )
+        row_mask = np.concatenate(
+            [np.zeros((pad,), np.int32), np.asarray(mask[i])]
+        )
+        rids.append(eng.submit(
+            np.asarray(vision_x[i], np.float32), row_ids,
+            attention_mask=row_mask, max_new_tokens=6,
+        ))
+    res = eng.run()
+    assert eng._state["cache"].layers[0].k.dtype == jnp.int8
+    for i, rid in enumerate(rids):
+        np.testing.assert_array_equal(res[rid], want_all[i])
