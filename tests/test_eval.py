@@ -339,3 +339,19 @@ def test_demo_latent_cache_lru_eviction(eval_setup, rng):
     got = emc.get_outputs([em.get_caption_prompt()], [[imgs[-1]]], 0, 2,
                           num_beams=1, length_penalty=0.0)
     assert got == out
+
+
+def test_eval_cli_flags_reach_eval_model():
+    """--int8_kv / --cache_demo_latents plumb through build_parser into
+    the OpenFlamingoEvalModel constructor arguments."""
+    from open_flamingo_tpu.eval.evaluate import build_parser
+
+    args = build_parser().parse_args(
+        ["--int8_kv", "--cache_demo_latents",
+         "--demo_latents_cache_size", "7"]
+    )
+    assert args.int8_kv and args.cache_demo_latents
+    assert args.demo_latents_cache_size == 7
+    # defaults off
+    d = build_parser().parse_args([])
+    assert not d.int8_kv and not d.cache_demo_latents
