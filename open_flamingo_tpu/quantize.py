@@ -104,10 +104,12 @@ def quantize_prefill_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     quantize_decode_params (the LM side of W8A8 reuses the same int8
     decode weights)."""
     variables = quantize_decode_params(variables)
-    vision = variables["params"].get("vision")
+    # the qparams tree must mirror the params tree path exactly —
+    # Flamingo names the ViT subtree "vision_encoder" (models/flamingo.py)
+    vision = variables["params"].get("vision_encoder")
     qparams = dict(variables["qparams"])
     if vision is not None:
-        qparams["vision"] = _quantize_lm_tree(vision)
+        qparams["vision_encoder"] = _quantize_lm_tree(vision)
     return {**variables, "qparams": qparams}
 
 

@@ -112,10 +112,11 @@ def test_vit_w8a8_tokens_close(rng):
     vit = VisionTransformer(cfg=cfg, dtype=jnp.float32)
     px = jnp.asarray(rng.normal(size=(2, 28, 28, 3)), jnp.float32)
     params = vit.init(jax.random.PRNGKey(0), px)
-    # wrap in the flamingo-style tree quantize_prefill_params expects
-    wrapped = {"params": {"vision": params["params"],
+    # wrap in the REAL flamingo tree key ("vision_encoder", not
+    # "vision" — the mismatch once left the ViT unquantized end-to-end)
+    wrapped = {"params": {"vision_encoder": params["params"],
                           "lm": {"q_proj": {}}}}
-    qtree = quantize_prefill_params(wrapped)["qparams"]["vision"]
+    qtree = quantize_prefill_params(wrapped)["qparams"]["vision_encoder"]
 
     want = np.asarray(vit.apply(params, px))
     w8a8.ENABLED = True
@@ -152,6 +153,16 @@ def test_generate_int8_prefill_quality(rng, scan):
         params = {"params": p}
         model = Flamingo(cfg=dataclasses.replace(model.cfg, scan_layers=True))
     variables_q = quantize_prefill_params(params)
+    # the side-car must actually cover the REAL vision subtree — the
+    # "vision" vs "vision_encoder" key mismatch once made this a no-op
+    assert "vision_encoder" in variables_q["qparams"]
+    assert any(
+        "kernel_q" in sub
+        for sub in jax.tree.leaves(
+            variables_q["qparams"]["vision_encoder"],
+            is_leaf=lambda x: isinstance(x, dict) and "kernel_q" in x,
+        )
+    )
     gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=0,
                                eos_token_id=-1)
     out_ref = np.asarray(
