@@ -42,17 +42,36 @@ class PDense(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.in_features, self.features),
-            self.param_dtype,
-        )
+        # int8-resident mode (quantize.strip_resident_params): the bf16
+        # kernel is dropped from params so only the int8 side-car stays
+        # in HBM (OF-9B fits a single 16GB chip). Declare the param only
+        # when it exists (or at init); consumers that still need a dense
+        # weight dequantize the int8 copy in-graph (transient, fused).
+        if (
+            self.is_initializing()
+            or self.has_variable("params", "kernel")
+            or not self.has_variable("qparams", "kernel_q")
+        ):
+            self.kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (self.in_features, self.features),
+                self.param_dtype,
+            )
+        else:
+            self.kernel = None
         if self.use_bias:
             self.bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,),
                 self.param_dtype,
             )
+
+    def _dense_kernel(self) -> jax.Array:
+        if self.kernel is not None:
+            return self.kernel
+        q = self.get_variable("qparams", "kernel_q")
+        s = self.get_variable("qparams", "kernel_s")
+        return q.astype(self.dtype) * s.astype(self.dtype)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..ops import w8a8
@@ -69,7 +88,7 @@ class PDense(nn.Module):
                 out_dtype=self.dtype,
             )
         x, kernel, bias = nn.dtypes.promote_dtype(
-            x, self.kernel, bias, dtype=self.dtype
+            x, self._dense_kernel(), bias, dtype=self.dtype
         )
         y = jnp.dot(x, kernel)
         if bias is not None:
@@ -80,7 +99,8 @@ class PDense(nn.Module):
         """(w, w_scale) for the weight-streaming decode kernels: the
         int8 copy + per-out-channel scale when a `qparams` collection is
         bound (quantize.quantize_decode_params), else (dtype-cast
-        kernel, None). Halves the decode DMA when quantized."""
+        kernel, None). Halves the decode DMA when quantized (and is the
+        ONLY resident copy under strip_resident_params)."""
         if self.has_variable("qparams", "kernel_q"):
             return (
                 self.get_variable("qparams", "kernel_q"),

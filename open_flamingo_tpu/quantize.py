@@ -113,6 +113,50 @@ def quantize_prefill_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {**variables, "qparams": qparams}
 
 
+def strip_resident_params(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop the bf16 copy of every quantized kernel so ONLY the int8
+    side-car stays resident in HBM — int8-resident serving. OF-9B
+    (MPT-7B, ~18 GB bf16) fits a single 16 GB v5e this way: ~8.4 GB of
+    int8 weights + the bf16 embedding table/LNs/biases + caches.
+
+    Requires a `qparams` side-car (quantize_decode_params /
+    quantize_prefill_params). Consumers adapt automatically: decode
+    kernels stream the int8 copy (they already prefer it), W8A8 prefill
+    uses it on the int8 MXU path, and any remaining dense site
+    dequantizes in-graph (PDense._dense_kernel — transient, fused, no
+    resident bf16). The embedding table (`wte.embedding`) is KEPT: the
+    input gather reads it directly. Single-chip only (the TP einsum
+    path reads bf16 kernels).
+
+    Replaced torch path: none — the reference cannot fit OF-9B decode
+    on a 16 GB device at all."""
+    if "qparams" not in variables:
+        raise ValueError("strip_resident_params needs a qparams side-car")
+
+    def walk(p: Dict[str, Any], q: Dict[str, Any]) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for name, sub in p.items():
+            qs = q.get(name) if isinstance(q, dict) else None
+            if (
+                isinstance(sub, dict)
+                and isinstance(qs, dict)
+                and "kernel_q" in qs
+                and "kernel" in sub
+            ):
+                out[name] = {k: v for k, v in sub.items() if k != "kernel"}
+            elif isinstance(sub, dict) and isinstance(qs, dict):
+                out[name] = walk(sub, qs)
+            else:
+                out[name] = sub
+        return out
+
+    params = dict(variables["params"])
+    for top, qtop in variables["qparams"].items():
+        if top in params:
+            params[top] = walk(params[top], qtop)
+    return {**variables, "params": params}
+
+
 def dequantize_roundtrip(variables: Dict[str, Any]) -> Dict[str, Any]:
     """Replace every quantizable weight with dequant(quant(w)) so the
     int8 path is EXACT against the bf16 path on the same params — the

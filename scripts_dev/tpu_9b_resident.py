@@ -1,0 +1,107 @@
+"""On-TPU validation: OF-9B int8-resident decode on ONE 16GB v5e.
+
+bf16 OF-9B is ~18GB of params — it cannot even be placed on this chip.
+int8-resident (quantize.strip_resident_params) keeps only the int8
+side-car + embeddings/LNs/biases resident (~9GB), W8A8 prefill, scan
+fused decode. The param tree is built ALREADY-STRIPPED (shape-level
+quantize+strip under eval_shape, zeros created per-leaf inside jit) so
+the bf16 tree never exists on device.
+
+Reports tokens/s at B=8 and B=16 plus HBM in use.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from open_flamingo_tpu.configs import flamingo_config
+from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+from open_flamingo_tpu.models.flamingo import Flamingo
+from open_flamingo_tpu.ops import w8a8
+from open_flamingo_tpu.quantize import (
+    quantize_prefill_params,
+    strip_resident_params,
+)
+
+cfg = flamingo_config("OF-9B")
+model = Flamingo(
+    cfg=dataclasses.replace(cfg, scan_layers=True),
+    dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+)
+T_TXT, NEW = 32, 32
+
+
+def make_resident_params(B):
+    vx = jnp.zeros((1, 1, 1, 224, 224, 3), jnp.bfloat16)
+    i2 = jnp.zeros((1, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
+    m2 = jnp.ones((1, T_TXT), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), vx, i2, m2))
+    target = jax.eval_shape(
+        lambda v: strip_resident_params(quantize_prefill_params(v)), shapes
+    )
+    n_bytes = sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize
+        for x in jax.tree.leaves(target)
+    )
+    print(f"resident param bytes: {n_bytes/2**30:.2f} GiB", flush=True)
+    return jax.jit(
+        lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), target)
+    )()
+
+
+params = make_resident_params(8)
+
+
+def measure(B):
+    vision_x = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
+    ids = jnp.zeros((B, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
+    mask = jnp.ones((B, T_TXT), jnp.int32)
+    gen = GenerationConfig(
+        max_new_tokens=NEW, pad_token_id=1, eos_token_id=cfg.eoc_token_id,
+        int8_kv=True,
+    )
+    w8a8.ENABLED = True
+    jitted = jax.jit(
+        lambda p, vx, i, mk: flamingo_generate(model, p, vx, i, mk, gen)
+    )
+    t0 = time.perf_counter()
+    np.asarray(jitted(params, vision_x, ids, mask))
+    print(f"B={B} compile+run {time.perf_counter()-t0:.0f}s", flush=True)
+    w8a8.ENABLED = False
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(jitted(params, vision_x, ids, mask))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    n_pipe = 4
+    t0 = time.perf_counter()
+    outs = [jitted(params, vision_x, ids, mask) for _ in range(n_pipe)]
+    np.asarray(outs[-1])
+    dtp = (time.perf_counter() - t0) / n_pipe
+    stats = jax.devices()[0].memory_stats() or {}
+    return {
+        "B": B,
+        "tok_s": round(B * NEW / dt, 1),
+        "tok_s_steady": round(B * NEW / dtp, 1),
+        "hbm_in_use_gib": round(stats.get("bytes_in_use", 0) / 2**30, 2),
+    }
+
+
+out = {"b8": measure(8)}
+try:
+    out["b16"] = measure(16)
+except Exception as e:
+    out["b16"] = {"error": repr(e)[:200]}
+print(json.dumps(out))

@@ -294,3 +294,90 @@ def test_int8_quality_drift_small(rng):
         dense_stream.INTERPRET = False
     match = (out_ref == out_q).mean()
     assert match >= 0.75, (match, out_ref, out_q)
+
+
+def test_strip_resident_params_generate_matches(rng, monkeypatch):
+    """int8-resident: bf16 kernels dropped, generate (scan engine,
+    FORCE_FUSED+INTERPRET, W8A8 prefill) is bitwise the unstripped int8
+    path — the kernels only ever read the int8 side-car."""
+    import dataclasses
+
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.models.flamingo import Flamingo
+    from open_flamingo_tpu.models.lm import to_scanned_layout
+    from open_flamingo_tpu.ops import dense_stream, w8a8
+    from open_flamingo_tpu.quantize import (
+        quantize_prefill_params,
+        strip_resident_params,
+    )
+
+    model, params, vision_x, ids, mask = _tiny_family_model("mpt", rng)
+    lm_sc = to_scanned_layout(
+        jax.tree.map(np.asarray, params["params"]["lm"]),
+        model.cfg.lm.num_layers, model.cfg.cross_attn_every_n,
+    )
+    p = dict(params["params"])
+    p["lm"] = jax.tree.map(jnp.asarray, lm_sc)
+    params = {"params": p}
+    model = Flamingo(cfg=dataclasses.replace(model.cfg, scan_layers=True))
+    vq = quantize_prefill_params(params)
+    vs = strip_resident_params(vq)
+    # every quantized parent (kernel_q at the same path) lost its bf16
+    # kernel, in BOTH subtrees
+    def leftover(p, q):
+        n = 0
+        for name, sub in p.items():
+            qs = q.get(name) if isinstance(q, dict) else None
+            if isinstance(sub, dict) and isinstance(qs, dict):
+                if "kernel_q" in qs:
+                    n += "kernel" in sub
+                else:
+                    n += leftover(sub, qs)
+        return n
+
+    for top in ("lm", "vision_encoder"):
+        assert leftover(vs["params"][top], vs["qparams"][top]) == 0
+        assert leftover(vq["params"][top], vq["qparams"][top]) > 0
+    n_full = sum(x.size for x in jax.tree.leaves(vq["params"]))
+    n_strip = sum(x.size for x in jax.tree.leaves(vs["params"]))
+    assert n_strip < 0.6 * n_full
+    # the embedding table survives (input gather needs it)
+    assert "embedding" in vs["params"]["lm"]["wte"]
+
+    monkeypatch.setattr(dense_stream, "FORCE_FUSED", True)
+    monkeypatch.setattr(dense_stream, "INTERPRET", True)
+    monkeypatch.setattr(w8a8, "ENABLED", True)
+    monkeypatch.setattr(w8a8, "MIN_TOKENS", 4)
+    gen = GenerationConfig(max_new_tokens=6, pad_token_id=0, eos_token_id=-1)
+    want = np.asarray(flamingo_generate(model, vq, vision_x, ids, mask, gen))
+    got = np.asarray(flamingo_generate(model, vs, vision_x, ids, mask, gen))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_strip_resident_params_dequant_fallback(rng, monkeypatch):
+    """Without W8A8, stripped prefill falls back to dequantized dense
+    weights in-graph — quality-gated vs the bf16 path (>=0.75 token
+    match, same gate as int8 decode)."""
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.quantize import (
+        quantize_prefill_params,
+        strip_resident_params,
+    )
+
+    model, params, vision_x, ids, mask = _tiny_family_model("mpt", rng)
+    gen = GenerationConfig(max_new_tokens=6, pad_token_id=0, eos_token_id=-1)
+    want = np.asarray(
+        flamingo_generate(model, params, vision_x, ids, mask, gen)
+    )
+    vs = strip_resident_params(quantize_prefill_params(params))
+    got = np.asarray(flamingo_generate(model, vs, vision_x, ids, mask, gen))
+    match = (got == want).mean()
+    assert match >= 0.75, (match, got, want)
+
+
+def test_strip_resident_requires_qparams(rng):
+    from open_flamingo_tpu.quantize import strip_resident_params
+
+    model, params, *_ = _tiny_family_model("mpt", rng)
+    with pytest.raises(ValueError):
+        strip_resident_params(params)
