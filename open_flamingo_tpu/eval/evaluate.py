@@ -356,6 +356,11 @@ def build_parser():
                    help="int8 KV + media caches with per-token scales: "
                         "halves the per-step cache DMA (scan-engine "
                         "decode only; silently bf16 elsewhere)")
+    p.add_argument("--int8_resident", action="store_true",
+                   help="int8-only weight residency (implies "
+                        "--int8_prefill): bf16 copies of quantized "
+                        "kernels are dropped after quantization — "
+                        "OF-9B fits a single 16GB chip")
     p.add_argument("--cache_demo_latents", action="store_true",
                    help="content-keyed LRU cache of per-image perceiver "
                         "latents: k-shot demos drawn from the fixed query "
@@ -442,7 +447,7 @@ def main(argv=None, *, eval_model=None):
                 params, ["params", "lm"], conv["lm"],
                 resize_vocab=model.cfg.lm.vocab_size,
             )
-        if args.int8_prefill:
+        if args.int8_prefill or args.int8_resident:
             from ..ops import w8a8
             from ..quantize import quantize_prefill_params
 
@@ -452,6 +457,10 @@ def main(argv=None, *, eval_model=None):
             from ..quantize import quantize_decode_params
 
             params = quantize_decode_params(params)
+        if args.int8_resident:
+            from ..quantize import strip_resident_params
+
+            params = strip_resident_params(params)
         eval_model = OpenFlamingoEvalModel(
             model, params, image_processor, tokenizer,
             int8_kv=args.int8_kv,

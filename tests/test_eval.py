@@ -347,11 +347,12 @@ def test_eval_cli_flags_reach_eval_model():
     from open_flamingo_tpu.eval.evaluate import build_parser
 
     args = build_parser().parse_args(
-        ["--int8_kv", "--cache_demo_latents",
+        ["--int8_kv", "--cache_demo_latents", "--int8_resident",
          "--demo_latents_cache_size", "7"]
     )
-    assert args.int8_kv and args.cache_demo_latents
+    assert args.int8_kv and args.cache_demo_latents and args.int8_resident
     assert args.demo_latents_cache_size == 7
     # defaults off
     d = build_parser().parse_args([])
     assert not d.int8_kv and not d.cache_demo_latents
+    assert not d.int8_resident
