@@ -352,6 +352,12 @@ def build_parser():
                    help="W8A8 int8 prefill + vision forward (ops/w8a8.py):"
                         " dynamic per-token activation quant on the int8 "
                         "MXU path; implies --int8_decode")
+    p.add_argument("--int4_decode", action="store_true",
+                   help="int4 weight-streaming decode (quantize.py "
+                        "bits=4): quarters the per-token weight DMA "
+                        "(vocab head/embeddings stay int8). Coarser "
+                        "than int8 — validate task quality before "
+                        "production use")
     p.add_argument("--int8_kv", action="store_true",
                    help="int8 KV + media caches with per-token scales: "
                         "halves the per-step cache DMA (scan-engine "
@@ -447,12 +453,21 @@ def main(argv=None, *, eval_model=None):
                 params, ["params", "lm"], conv["lm"],
                 resize_vocab=model.cfg.lm.vocab_size,
             )
+        if args.int4_decode and (args.int8_prefill or args.int8_resident):
+            raise SystemExit(
+                "--int4_decode is incompatible with --int8_prefill/"
+                "--int8_resident (W8A8 and residency need int8 kernels)"
+            )
         if args.int8_prefill or args.int8_resident:
             from ..ops import w8a8
             from ..quantize import quantize_prefill_params
 
             params = quantize_prefill_params(params)
             w8a8.ENABLED = True
+        elif args.int4_decode:
+            from ..quantize import quantize_decode_params
+
+            params = quantize_decode_params(params, bits=4)
         elif args.int8_decode:
             from ..quantize import quantize_decode_params
 

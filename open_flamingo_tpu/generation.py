@@ -288,6 +288,12 @@ def flamingo_generate(
     ):
         dense_stream.note_params_sharding(params)
 
+    # int4 decode (quantize_decode_params bits=4): materialize the
+    # packed int4 stream in-graph, once, outside the decode loop
+    from .quantize import activate_int4_stream
+
+    params = activate_int4_stream(params)
+
     if media_latents is not None:
         latents = media_latents.astype(model.dtype)
     else:

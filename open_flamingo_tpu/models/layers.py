@@ -77,7 +77,13 @@ class PDense(nn.Module):
         from ..ops import w8a8
 
         bias = self.bias if self.use_bias else None
-        if w8a8.use_w8a8(x) and self.has_variable("qparams", "kernel_q"):
+        if (
+            w8a8.use_w8a8(x)
+            and self.has_variable("qparams", "kernel_q")
+            # int4 side-cars (--int4_decode) are decode-stream-only:
+            # the int8 MXU path needs int8 weights
+            and self.get_variable("qparams", "kernel_q").dtype == jnp.int8
+        ):
             # W8A8 prefill: both operands int8 -> int8 MXU rate
             # (ops/w8a8.py); opt-in via --int8_prefill
             return w8a8.w8a8_dot(

@@ -179,7 +179,7 @@ def _attend_out_kernel(
     a = jnp.sum(pw[..., None] * v.astype(jnp.float32), axis=1)
 
     wmat = wout_ref[0]
-    mm_dtype = y_ref.dtype if wmat.dtype == jnp.int8 else wmat.dtype
+    mm_dtype = y_ref.dtype if wmat.dtype in (jnp.int8, jnp.int4) else wmat.dtype
     acc_ref[...] += jax.lax.dot_general(
         a.astype(mm_dtype), wmat.astype(mm_dtype),
         (((1,), (0,)), ((), ())),
@@ -478,7 +478,7 @@ def _attn_block_kernel(
 
     def proj(w_ref, ws_ref=None):
         w = w_ref[...]
-        if w.dtype == jnp.int8:
+        if w.dtype in (jnp.int8, jnp.int4):
             # int8 weight streaming: exact int8 -> bf16 convert, the
             # per-out-channel scale restores magnitude BEFORE clip_qkv
             w = w.astype(x.dtype)
@@ -572,7 +572,7 @@ def _attn_block_kernel(
             pw = pw * vs_i                           # dequant values
         a = jnp.sum(pw[..., None] * v_i.astype(jnp.float32), axis=1)
         wo = wout_ref[sl, :]
-        if wo.dtype == jnp.int8:
+        if wo.dtype in (jnp.int8, jnp.int4):
             wo = wo.astype(x.dtype)
         acc_ref[...] += jax.lax.dot_general(
             a.astype(x.dtype), wo,
@@ -816,7 +816,7 @@ def reference_attend_out(
     per-token scales in the head-leading (H_kv, B, S) layout — mirrors
     the kernel's in-register dequant and the in-kernel quantization of
     the new token."""
-    if wout.dtype == jnp.int8:
+    if wout.dtype in (jnp.int8, jnp.int4):
         wout = wout.astype(q.dtype)
     b, h, dh = q.shape
     s_max = k.shape[2]

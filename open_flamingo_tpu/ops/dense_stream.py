@@ -196,9 +196,10 @@ def _dense_kernel(
         x_ref[...].astype(jnp.float32)
     )
     w = w_ref[...]
-    if w.dtype == jnp.int8:
-        # int8 weight streaming: |w_q| <= 127 so the int8 -> bf16
+    if w.dtype in (jnp.int8, jnp.int4):
+        # int8/int4 weight streaming: |w_q| <= 127 so the int -> bf16
         # convert is exact; per-out-channel scales apply on the output.
+        # int4 is packed 2-per-byte in HBM — quarter the bf16 stream.
         w = w.astype(x_ref.dtype)
     y = jax.lax.dot_general(
         h.astype(x_ref.dtype), w,
@@ -416,9 +417,13 @@ def _mlp_kernel(
     hd = h.astype(x_ref.dtype)
 
     def cast_w(w):
-        # int8 -> compute dtype is exact (|w_q| <= 127, bf16 has 8
+        # int8/int4 -> compute dtype is exact (|w_q| <= 127, bf16 has 8
         # mantissa bits); scales apply per out-channel on the output
-        return w.astype(x_ref.dtype) if w.dtype == jnp.int8 else w
+        return (
+            w.astype(x_ref.dtype)
+            if w.dtype in (jnp.int8, jnp.int4)
+            else w
+        )
 
     u = jax.lax.dot_general(
         hd, cast_w(w1_ref[...]),
@@ -646,7 +651,7 @@ def reference_dense(
     eps=1e-5, norm="layer", act=None, clip=None, residual=None, gate=None,
 ):
     """Plain-jnp semantics mirror of fused_dense (parity tests)."""
-    if w.dtype == jnp.int8:
+    if w.dtype in (jnp.int8, jnp.int4):
         w = w.astype(x.dtype)
     h = x.astype(jnp.float32)
     if ln_scale is not None:

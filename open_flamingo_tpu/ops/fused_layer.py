@@ -148,7 +148,7 @@ def _layer_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def cast_w(w):
-        return w.astype(x_ref.dtype) if w.dtype == jnp.int8 else w
+        return w.astype(x_ref.dtype) if w.dtype in (jnp.int8, jnp.int4) else w
 
     # ---------------- phase A: attention (p < n_groups) ----------------
     @pl.when(p < n_groups)

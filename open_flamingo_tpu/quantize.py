@@ -43,22 +43,31 @@ QUANT_PARENTS = frozenset({
 })
 
 
-def quantize_weight(w, axis: int):
-    """Per-channel symmetric int8: reduce |w| over `axis` (the
-    in-features/reduction axis), keep every other axis as channel dims.
-    Returns (w_q int8 same shape, scale f32 with `axis` removed).
+def quantize_weight(w, axis: int, bits: int = 8):
+    """Per-channel symmetric int8/int4-grid: reduce |w| over `axis`
+    (the in-features/reduction axis), keep every other axis as channel
+    dims. Returns (w_q int8 same shape, scale f32 with `axis` removed).
     Pure-jnp so it runs on-device (jit-able: quantizing placed params
-    never copies them to the host) and accepts numpy too."""
+    never copies them to the host) and accepts numpy too.
+
+    bits=4 clips to the int4 grid [-7, 7] but STORES int8: S4 arrays
+    cannot cross a jit boundary on the remote-TPU (axon) backend, so
+    the packed jnp.int4 copy is materialized in-graph per generate call
+    by activate_int4_stream — the decode loop then streams 2-per-byte
+    packed int4 at half the int8 DMA (measured 22.3 vs 49.2 us/launch
+    on the decode-shaped fused MLP, BASELINE.md)."""
+    assert bits in (8, 4), bits
+    qmax = 127 if bits == 8 else 7
     w = jnp.asarray(w).astype(jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=axis)
-    scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    scale = jnp.where(amax == 0.0, 1.0, amax / qmax)
     w_q = jnp.clip(
-        jnp.round(w / jnp.expand_dims(scale, axis)), -127, 127
+        jnp.round(w / jnp.expand_dims(scale, axis)), -qmax, qmax
     ).astype(jnp.int8)
     return w_q, scale
 
 
-def _quantize_lm_tree(tree: Dict[str, Any]) -> Dict[str, Any]:
+def _quantize_lm_tree(tree: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for name, sub in tree.items():
         if not isinstance(sub, dict):
@@ -66,34 +75,75 @@ def _quantize_lm_tree(tree: Dict[str, Any]) -> Dict[str, Any]:
         if name in QUANT_PARENTS and "kernel" in sub:
             k = sub["kernel"]
             # kernels are (K, N) or scan-stacked (G, K, N); out-channels
-            # are the LAST axis -> reduce over the in-features axis -2
-            q, s = quantize_weight(k, axis=k.ndim - 2)
-            out[name] = {"kernel_q": q, "kernel_s": s}
+            # are the LAST axis -> reduce over the in-features axis -2.
+            # The vocab head stays int8 even in int4 mode: logits are
+            # the most quantization-sensitive site and the head is a
+            # one-off per step (not a per-layer stream).
+            k_bits = 8 if name == "lm_head" else bits
+            q, s = quantize_weight(k, axis=k.ndim - 2, bits=k_bits)
+            qkey = "kernel_q4" if k_bits == 4 else "kernel_q"
+            out[name] = {qkey: q, "kernel_s": s}
         elif name == "wte" and "embedding" in sub:
             # tied-embedding logits stream the (V, D) table transposed:
-            # out-channels are the vocab rows -> reduce over D (last)
+            # out-channels are the vocab rows -> reduce over D (last).
+            # Kept int8 in int4 mode (see lm_head above).
             e = sub["embedding"]
-            q, s = quantize_weight(e, axis=e.ndim - 1)
+            q, s = quantize_weight(e, axis=e.ndim - 1, bits=8)
             out[name] = {"embedding_q": q, "embedding_s": s}
         else:
-            child = _quantize_lm_tree(sub)
+            child = _quantize_lm_tree(sub, bits)
             if child:
                 out[name] = child
     return out
 
 
-def quantize_decode_params(variables: Dict[str, Any]) -> Dict[str, Any]:
-    """Add a `qparams` collection with int8 copies of the LM's
-    decode-streamed weights. `variables` is the dict `model.init`
-    returns ({"params": ...}); only the `lm` subtree is quantized (the
-    ViT/perceiver never run during decode steps). For scan_layers
-    models, call AFTER `to_scanned_layout` (stacked 3D kernels are
-    quantized per layer)."""
+def quantize_decode_params(
+    variables: Dict[str, Any], bits: int = 8
+) -> Dict[str, Any]:
+    """Add a `qparams` collection with int8 (bits=8) or int4 (bits=4)
+    copies of the LM's decode-streamed weights. `variables` is the dict
+    `model.init` returns ({"params": ...}); only the `lm` subtree is
+    quantized (the ViT/perceiver never run during decode steps). For
+    scan_layers models, call AFTER `to_scanned_layout` (stacked 3D
+    kernels are quantized per layer). bits=4 quarters the per-token
+    weight DMA (vocab head/embeddings stay int8); quality is coarser —
+    opt-in via --int4_decode, gate on the measured drift."""
     params = variables["params"]
     lm = params.get("lm")
     if lm is None:
         raise ValueError("variables['params'] has no 'lm' subtree")
-    return {**variables, "qparams": {"lm": _quantize_lm_tree(lm)}}
+    return {**variables, "qparams": {"lm": _quantize_lm_tree(lm, bits)}}
+
+
+def activate_int4_stream(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Materialize the packed jnp.int4 decode stream from the int8-
+    stored int4-grid side-car (`kernel_q4`, quantize_decode_params
+    bits=4): every kernel_q4 leaf becomes a true int4 `kernel_q`, which
+    PDense.stream_weight and the fused decode kernels consume unchanged.
+
+    MUST run IN-GRAPH (inside the jitted generate/serving fn, before
+    the decode loop): S4 arrays cannot cross a jit boundary on the
+    remote-TPU (axon) backend, and the cast is loop-invariant so XLA
+    executes it once per call, not per decode step. No-op when no
+    kernel_q4 leaves exist (int8 mode / unquantized)."""
+    q = variables.get("qparams")
+    if q is None:
+        return variables
+
+    found = False
+
+    def walk(t):
+        nonlocal found
+        out = {}
+        for k, v in t.items():
+            out[k] = walk(v) if isinstance(v, dict) else v
+        if "kernel_q4" in out:
+            found = True
+            out["kernel_q"] = out.pop("kernel_q4").astype(jnp.int4)
+        return out
+
+    walked = walk(q)
+    return {**variables, "qparams": walked} if found else variables
 
 
 def quantize_prefill_params(variables: Dict[str, Any]) -> Dict[str, Any]:
@@ -157,10 +207,12 @@ def strip_resident_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {**variables, "params": params}
 
 
-def dequantize_roundtrip(variables: Dict[str, Any]) -> Dict[str, Any]:
+def dequantize_roundtrip(
+    variables: Dict[str, Any], bits: int = 8
+) -> Dict[str, Any]:
     """Replace every quantizable weight with dequant(quant(w)) so the
-    int8 path is EXACT against the bf16 path on the same params — the
-    plumbing-correctness test harness (tests/test_quantize.py)."""
+    int8/int4 path is EXACT against the bf16 path on the same params —
+    the plumbing-correctness test harness (tests/test_quantize.py)."""
 
     def walk(tree):
         out = {}
@@ -170,12 +222,13 @@ def dequantize_roundtrip(variables: Dict[str, Any]) -> Dict[str, Any]:
                 continue
             if name in QUANT_PARENTS and "kernel" in sub:
                 k = jnp.asarray(sub["kernel"])
-                q, s = quantize_weight(k, axis=k.ndim - 2)
+                k_bits = 8 if name == "lm_head" else bits
+                q, s = quantize_weight(k, axis=k.ndim - 2, bits=k_bits)
                 deq = q.astype(jnp.float32) * jnp.expand_dims(s, k.ndim - 2)
                 out[name] = {**sub, "kernel": deq.astype(k.dtype)}
             elif name == "wte" and "embedding" in sub:
                 e = jnp.asarray(sub["embedding"])
-                q, s = quantize_weight(e, axis=e.ndim - 1)
+                q, s = quantize_weight(e, axis=e.ndim - 1, bits=8)
                 deq = q.astype(jnp.float32) * jnp.expand_dims(s, e.ndim - 1)
                 out[name] = {**sub, "embedding": deq.astype(e.dtype)}
             else:

@@ -298,7 +298,11 @@ class ServingEngine:
         """chunk_tokens greedy steps for every row. Token semantics are
         exactly generation.greedy_or_sample's (pad after EOS, per-row
         step counter for min_new_tokens)."""
+        from .quantize import activate_int4_stream
+
         m, cfg = self.model, self.gen
+        # int4 decode: in-graph, loop-invariant (see activate_int4_stream)
+        params = activate_int4_stream(params)
 
         def step_fn(tok, mask, cache):
             return m.apply(

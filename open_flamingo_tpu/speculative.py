@@ -105,6 +105,13 @@ def speculative_generate(
     ):
         dense_stream.note_params_sharding((params, draft_params))
 
+    # int4 decode side-cars: materialize the packed int4 stream
+    # in-graph, once (see quantize.activate_int4_stream)
+    from .quantize import activate_int4_stream
+
+    params = activate_int4_stream(params)
+    draft_params = activate_int4_stream(draft_params)
+
     D = num_draft_tokens
     b, t = lang_x.shape
     max_new = cfg.max_new_tokens

@@ -233,13 +233,16 @@ def _tiny_family_model(family, rng):
 
 
 @pytest.mark.parametrize(
-    "family", ["mpt", "gptneox", "llama", "gptj", "opt"]
+    "family,bits",
+    [("mpt", 8), ("gptneox", 8), ("llama", 8), ("gptj", 8), ("opt", 8),
+     ("mpt", 4), ("llama", 4), ("gptj", 4)],
 )
-def test_generate_int8_matches_roundtripped_bf16(rng, family):
+def test_generate_int8_matches_roundtripped_bf16(rng, family, bits):
     """End-to-end plumbing: with weights replaced by dequant(quant(w)),
-    the int8 fused decode must produce the same greedy tokens as the
-    full-precision fused decode over the same (round-tripped) params —
-    the quantization grid is exact, so only fp32 rounding differs."""
+    the int8/int4 fused decode must produce the same greedy tokens as
+    the full-precision fused decode over the same (round-tripped)
+    params — the quantization grid is exact, so only fp32 rounding
+    differs."""
     from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
     from open_flamingo_tpu.ops import dense_stream
     from open_flamingo_tpu.quantize import (
@@ -248,8 +251,8 @@ def test_generate_int8_matches_roundtripped_bf16(rng, family):
     )
 
     model, params, vision_x, ids, mask = _tiny_family_model(family, rng)
-    params_rt = dequantize_roundtrip(params)
-    variables_q = quantize_decode_params(params_rt)
+    params_rt = dequantize_roundtrip(params, bits=bits)
+    variables_q = quantize_decode_params(params_rt, bits=bits)
     gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=0,
                                eos_token_id=-1)
 
@@ -266,6 +269,75 @@ def test_generate_int8_matches_roundtripped_bf16(rng, family):
         dense_stream.FORCE_FUSED = False
         dense_stream.INTERPRET = False
     np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_q))
+
+
+def test_fused_dense_int4_exact(rng):
+    """Weights on the int4 grid: the int4 fused path must match the
+    dequantized reference up to fp32 matmul noise (kernel-level proof
+    that the jnp.int4 ref load + cast is semantically exact)."""
+    w_q = rng.integers(-7, 8, size=(K, N)).astype(np.float32)
+    s = 2.0 ** rng.integers(-8, -4, size=N).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+    w = jnp.asarray(w_q * s[None, :], jnp.float32)
+    got = fused_dense(
+        x, jnp.asarray(w_q, jnp.int4), w_scale=jnp.asarray(s),
+        block_n=128, interpret=True,
+    )
+    want = reference_dense(x, w)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_int4_quality_drift_small(rng):
+    """On raw gaussian weights, int4 decode (per-out-channel scales)
+    still greedy-matches the bf16 fused path most of the time at tiny
+    scale — a plumbing sanity floor, not a production quality claim."""
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.ops import dense_stream
+    from open_flamingo_tpu.quantize import quantize_decode_params
+
+    model, params, vision_x, ids, mask = _tiny_family_model("mpt", rng)
+    variables_q = quantize_decode_params(params, bits=4)
+    # the non-head side-car is stored int8-on-the-int4-grid under
+    # kernel_q4 (S4 cannot cross the axon jit boundary); generate
+    # materializes true int4 in-graph via activate_int4_stream
+    def count_q4(t):
+        n = 0
+        for k, v in t.items():
+            if k == "kernel_q4":
+                assert v.dtype == jnp.int8
+                assert jnp.max(jnp.abs(v.astype(jnp.int32))) <= 7
+                n += 1
+            elif isinstance(v, dict):
+                n += count_q4(v)
+        return n
+
+    assert count_q4(variables_q["qparams"]["lm"]) > 0
+    from open_flamingo_tpu.quantize import activate_int4_stream
+
+    act = activate_int4_stream(variables_q)
+    int4_leaves = [
+        leaf
+        for leaf in jax.tree.leaves(act["qparams"])
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.int4
+    ]
+    assert len(int4_leaves) > 0
+    assert count_q4(act["qparams"]["lm"]) == 0
+    gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=0,
+                               eos_token_id=-1)
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    try:
+        out_ref = np.asarray(flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        ))
+        out_q = np.asarray(flamingo_generate(
+            model, variables_q, vision_x, ids, mask, gen_cfg
+        ))
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+    match = (out_ref == out_q).mean()
+    assert match >= 0.5, (match, out_ref, out_q)
 
 
 def test_int8_quality_drift_small(rng):
