@@ -6,8 +6,9 @@ install:
 test:
 	python -m pytest tests/ -q
 
-# fast tier (<~8 min on 1 CPU core): everything except the slow-marked
-# real-width parity, e2e CLI, scan-training and sharded-suite tests
+# fast tier: everything except the slow-marked real-width parity, e2e
+# CLI, scan-training and sharded-suite tests. ~10 min on an idle
+# many-core box, up to ~25-30 min under load (measured round 3)
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 

@@ -11,10 +11,16 @@ its CUDA stack cannot run here (BASELINE.md).
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _note(msg):
+    """Progress to stderr — stdout stays the single-JSON-line contract."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 # persistent compile cache: the driver re-runs this every round
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -42,7 +48,8 @@ def main():
     )
     T_TXT, NEW = 32, 32
 
-    def measure(B, int8=False, new=NEW, scan=False, w8a8_prefill=False):
+    def measure(B, int8=False, new=NEW, scan=False, w8a8_prefill=False,
+                bits=8):
         from open_flamingo_tpu.ops import w8a8
 
         m = scan_model if scan else model
@@ -58,11 +65,13 @@ def main():
             lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
         )()
         if w8a8_prefill:
-            # W8A8 int8 prefill + vision on top of int8 decode
-            # (ops/w8a8.py, --int8_prefill)
+            # W8A8 int8 prefill + vision on top of int8/int4 decode
+            # (ops/w8a8.py, --int8_prefill [--int4_decode])
             from open_flamingo_tpu.quantize import quantize_prefill_params
 
-            params = jax.jit(quantize_prefill_params)(params)
+            params = jax.jit(
+                lambda v: quantize_prefill_params(v, bits=bits)
+            )(params)
             w8a8.ENABLED = True
         elif int8:
             # int8 weight-streaming decode (quantize.py): halves the
@@ -104,17 +113,30 @@ def main():
             "p50_per_image_latency_s": round(dt / B, 4),
         }
 
-    serve = measure(32)   # throughput-oriented serving batch
-    small = measure(8)    # the eval harness's batch size
-    serve_q = measure(32, int8=True)
-    small_q = measure(8, int8=True)
-    serve_sq = measure(32, int8=True, scan=True)
-    small_sq = measure(8, int8=True, scan=True)
-    # production serving config: scan engine + int8 decode + W8A8 prefill
-    serve_sw = measure(32, scan=True, w8a8_prefill=True)
-    small_sw = measure(8, scan=True, w8a8_prefill=True)
-    one_q = measure(32, int8=True, new=1)   # vision+prefill(+1 step)
+    def timed(name, **kw):
+        t0 = time.perf_counter()
+        r = measure(**kw)
+        _note(f"{name}: {r['tokens_per_sec_per_chip']} tok/s "
+              f"({time.perf_counter()-t0:.0f}s incl. compile)")
+        return r
+
+    serve = timed("b32 bf16", B=32)   # throughput-oriented serving batch
+    small = timed("b8 bf16", B=8)     # the eval harness's batch size
+    serve_q = timed("b32 int8", B=32, int8=True)
+    small_q = timed("b8 int8", B=8, int8=True)
+    serve_sq = timed("b32 scan int8", B=32, int8=True, scan=True)
+    small_sq = timed("b8 scan int8", B=8, int8=True, scan=True)
+    serve_sw = timed("b32 scan int8+w8a8", B=32, scan=True, w8a8_prefill=True)
+    small_sw = timed("b8 scan int8+w8a8", B=8, scan=True, w8a8_prefill=True)
+    # production serving config (round 4): scan engine + int4 weight
+    # streaming + W8A8 prefill over the same int4-grid values
+    serve_i4 = timed("b32 scan int4+w8a8", B=32, scan=True,
+                     w8a8_prefill=True, bits=4)
+    small_i4 = timed("b8 scan int4+w8a8", B=8, scan=True,
+                     w8a8_prefill=True, bits=4)
+    one_q = timed("b32 int8 new=1", B=32, int8=True, new=1)
     tokens_per_sec = max(
+        serve_i4["tokens_per_sec_per_chip"],
         serve_sw["tokens_per_sec_per_chip"],
         serve_sq["tokens_per_sec_per_chip"],
         serve_q["tokens_per_sec_per_chip"],
@@ -130,7 +152,7 @@ def main():
     detail = {
         "prompt_len": T_TXT,
         "new_tokens": NEW,
-        "dtype": "bf16; headline = scan engine + int8 weight-streaming "
+        "dtype": "bf16; headline = scan engine + int4 weight-streaming "
                  "decode + W8A8 int8 prefill/vision",
         "batch_32": serve,
         "batch_8": small,
@@ -140,11 +162,19 @@ def main():
         "batch_8_scan_int8": small_sq,
         "batch_32_scan_int8_w8a8prefill": serve_sw,
         "batch_8_scan_int8_w8a8prefill": small_sw,
+        "batch_32_scan_int4_w8a8prefill": serve_i4,
+        "batch_8_scan_int4_w8a8prefill": small_i4,
         "vision_prefill_s_b32": round(vision_prefill_s, 4),
         "vision_prefill_share_b32_int8": round(vision_prefill_s / dt32, 3),
     }
     try:
+        detail["of9b_int8_resident"] = bench_of9b_resident()
+        _note(f"of9b: {detail['of9b_int8_resident']}")
+    except Exception as e:  # secondary config must not break the line
+        detail["of9b_int8_resident"] = {"error": repr(e)[:200]}
+    try:
         detail["train_step"] = bench_train_step()
+        _note(f"train: {detail['train_step']}")
     except Exception as e:  # secondary config must not break the line
         detail["train_step"] = {"error": repr(e)[:200]}
 
@@ -159,6 +189,78 @@ def main():
             }
         )
     )
+
+
+def bench_of9b_resident():
+    """OF-9B (MPT-7B, the reference's flagship) int8-resident decode on
+    ONE 16GB chip: bf16 OF-9B (~18GB) cannot even be placed here; the
+    stripped tree keeps 8.03 GiB resident (scripts_dev/tpu_9b_resident).
+    W8A8 prefill + int8 fused scan decode + int8 KV, B=16."""
+    import dataclasses
+
+    import numpy as np
+
+    from open_flamingo_tpu.configs import flamingo_config
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.models.flamingo import Flamingo
+    from open_flamingo_tpu.ops import w8a8
+    from open_flamingo_tpu.quantize import (
+        quantize_prefill_params,
+        strip_resident_params,
+    )
+
+    cfg = flamingo_config("OF-9B")
+    model = Flamingo(
+        cfg=dataclasses.replace(cfg, scan_layers=True),
+        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+    )
+    B, T_TXT, NEW = 16, 32, 32
+    vx1 = jnp.zeros((1, 1, 1, 224, 224, 3), jnp.bfloat16)
+    i1 = jnp.zeros((1, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
+    m1 = jnp.ones((1, T_TXT), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), vx1, i1, m1))
+    # the param tree is built ALREADY-STRIPPED (shape-level quantize+strip
+    # under eval_shape) so the ~18GB bf16 tree never exists on device
+    target = jax.eval_shape(
+        lambda v: strip_resident_params(quantize_prefill_params(v)), shapes
+    )
+    params = jax.jit(
+        lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), target)
+    )()
+    resident_gib = sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(target)
+    ) / 2**30
+    vision_x = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
+    ids = jnp.zeros((B, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
+    mask = jnp.ones((B, T_TXT), jnp.int32)
+    gen = GenerationConfig(
+        max_new_tokens=NEW, pad_token_id=1, eos_token_id=cfg.eoc_token_id,
+        int8_kv=True,
+    )
+    w8a8.ENABLED = True
+    jitted = jax.jit(
+        lambda p, vx, i, mk: flamingo_generate(model, p, vx, i, mk, gen)
+    )
+    np.asarray(jitted(params, vision_x, ids, mask))
+    w8a8.ENABLED = False
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(jitted(params, vision_x, ids, mask))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    n_pipe = 4
+    t0 = time.perf_counter()
+    outs = [jitted(params, vision_x, ids, mask) for _ in range(n_pipe)]
+    np.asarray(outs[-1])
+    dtp = (time.perf_counter() - t0) / n_pipe
+    return {
+        "batch": B,
+        "tokens_per_sec_per_chip": round(B * NEW / dt, 1),
+        "tokens_per_sec_per_chip_steady": round(B * NEW / dtp, 1),
+        "p50_per_image_latency_s": round(dt / B, 4),
+        "resident_param_gib": round(resident_gib, 2),
+    }
 
 
 def bench_train_step():

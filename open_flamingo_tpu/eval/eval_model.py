@@ -72,9 +72,16 @@ class OpenFlamingoEvalModel(BaseEvalModel):
                  max_prompt_tokens: int = 2000, int8_kv: bool = False,
                  cache_media_latents: bool = False,
                  media_latents_cache_size: int = 4096,
-                 media_encode_chunk: int = 16):
+                 media_encode_chunk: int = 16,
+                 speculative_draft_params=None,
+                 speculative_tokens: int = 4):
         self.model = model
         self.params = params
+        # same-weights draft side-car (--speculative_draft): greedy
+        # generate runs speculative_generate (draft proposes D tokens,
+        # one multi-token verify). Beam/sampled paths ignore it.
+        self.speculative_draft_params = speculative_draft_params
+        self.speculative_tokens = speculative_tokens
         self.image_processor = image_processor
         self.tokenizer = tokenizer
         self.max_prompt_tokens = max_prompt_tokens
@@ -82,7 +89,20 @@ class OpenFlamingoEvalModel(BaseEvalModel):
         self.cache_media_latents = cache_media_latents
         self.media_latents_cache_size = media_latents_cache_size
         self.media_encode_chunk = media_encode_chunk
+        # jitted flamingo_generate per (GenerationConfig, latents?) —
+        # the whole generate (prefill + decode scan) runs as ONE device
+        # program instead of eager per-op dispatch over the tunnel, and
+        # int4 side-cars activate in-graph as required (S4 arrays cannot
+        # cross the axon jit boundary — quantize.activate_int4_stream)
         self._gen_cache = {}
+        # jit skips flamingo_generate's concrete-params sharding probe;
+        # run it here once (constructor params are concrete)
+        from ..ops import dense_stream
+
+        if not any(
+            isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(params)
+        ):
+            dense_stream.note_params_sharding(params)
         # content-keyed LRU of per-image perceiver latents (n_lat, D).
         # k-shot eval re-draws demos from a fixed query pool
         # (eval/utils.py get_query_set), so the same images hit the ViT
@@ -166,10 +186,19 @@ class OpenFlamingoEvalModel(BaseEvalModel):
             max_length=self.max_prompt_tokens,
             return_tensors="np",
         )
-        return (
-            jnp.asarray(t["input_ids"], jnp.int32),
-            jnp.asarray(t["attention_mask"], jnp.int32),
-        )
+        ids = np.asarray(t["input_ids"], np.int32)
+        mask = np.asarray(t["attention_mask"], np.int32)
+        # left-pad to a 32-multiple: bounds the jitted-generate compile
+        # count to one per prompt-length BUCKET (left pads are masked —
+        # the left-padded HF-parity tests are the semantics contract)
+        p = ids.shape[1]
+        tgt = max(32, -(-p // 32) * 32)
+        if tgt != p:
+            pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+            ids = np.pad(ids, ((0, 0), (tgt - p, 0)),
+                         constant_values=pad_id)
+            mask = np.pad(mask, ((0, 0), (tgt - p, 0)))
+        return jnp.asarray(ids), jnp.asarray(mask)
 
     # --- generation ---------------------------------------------------------
     def get_outputs(
@@ -195,10 +224,41 @@ class OpenFlamingoEvalModel(BaseEvalModel):
             pad_token_id=getattr(self.tokenizer, "pad_token_id", 0) or 0,
             int8_kv=self.int8_kv,
         )
-        out = flamingo_generate(
-            self.model, self.params, vision_x, ids, mask, cfg,
-            media_latents=media_latents,
+        with_latents = media_latents is not None
+        use_spec = (
+            self.speculative_draft_params is not None
+            and cfg.num_beams == 1 and not cfg.do_sample
         )
+        key = (cfg, with_latents, use_spec)
+        fn = self._gen_cache.get(key)
+        if fn is None:
+            if use_spec:
+                from ..speculative import speculative_generate
+
+                def fn(p, dp, x, i, mk, _wl=with_latents, _cfg=cfg):
+                    return speculative_generate(
+                        self.model, p, self.model, dp,
+                        None if _wl else x, i, mk, _cfg,
+                        num_draft_tokens=self.speculative_tokens,
+                        media_latents=x if _wl else None,
+                    )
+
+                fn = jax.jit(fn)
+            elif with_latents:
+                fn = jax.jit(lambda p, lt, i, mk: flamingo_generate(
+                    self.model, p, None, i, mk, cfg, media_latents=lt
+                ))
+            else:
+                fn = jax.jit(lambda p, vx, i, mk: flamingo_generate(
+                    self.model, p, vx, i, mk, cfg
+                ))
+            self._gen_cache[key] = fn
+        x = media_latents if with_latents else vision_x
+        if use_spec:
+            out = fn(self.params, self.speculative_draft_params,
+                     x, ids, mask)
+        else:
+            out = fn(self.params, x, ids, mask)
         return self.tokenizer.batch_decode(
             np.asarray(out), skip_special_tokens=True
         )

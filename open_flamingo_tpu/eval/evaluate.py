@@ -355,8 +355,11 @@ def build_parser():
     p.add_argument("--int4_decode", action="store_true",
                    help="int4 weight-streaming decode (quantize.py "
                         "bits=4): quarters the per-token weight DMA "
-                        "(vocab head/embeddings stay int8). Coarser "
-                        "than int8 — validate task quality before "
+                        "(vocab head/embeddings stay int8). Composes "
+                        "with --int8_prefill (W8A8 over the int4-grid "
+                        "values); rank-classification scoring forwards "
+                        "stay bf16 unless --int8_prefill. Coarser than "
+                        "int8 — validate task quality before "
                         "production use")
     p.add_argument("--int8_kv", action="store_true",
                    help="int8 KV + media caches with per-token scales: "
@@ -367,6 +370,19 @@ def build_parser():
                         "--int8_prefill): bf16 copies of quantized "
                         "kernels are dropped after quantization — "
                         "OF-9B fits a single 16GB chip")
+    p.add_argument("--speculative_draft", choices=["int4", "int8"],
+                   default=None,
+                   help="same-weights speculative decoding for greedy "
+                        "generate (num_beams=1): an int4/int8-grid "
+                        "side-car of the SAME model drafts "
+                        "--speculative_tokens tokens per target verify "
+                        "forward (speculative.py). EXPERIMENTAL: "
+                        "measured SLOWER than plain decode with same-"
+                        "size drafts (BASELINE.md round 4) — it needs "
+                        "a genuinely smaller trained draft to pay; "
+                        "beam search paths ignore it")
+    p.add_argument("--speculative_tokens", type=int, default=4,
+                   help="draft window D for --speculative_draft")
     p.add_argument("--cache_demo_latents", action="store_true",
                    help="content-keyed LRU cache of per-image perceiver "
                         "latents: k-shot demos drawn from the fixed query "
@@ -453,16 +469,23 @@ def main(argv=None, *, eval_model=None):
                 params, ["params", "lm"], conv["lm"],
                 resize_vocab=model.cfg.lm.vocab_size,
             )
-        if args.int4_decode and (args.int8_prefill or args.int8_resident):
+        if args.int4_decode and args.int8_resident:
             raise SystemExit(
-                "--int4_decode is incompatible with --int8_prefill/"
-                "--int8_resident (W8A8 and residency need int8 kernels)"
+                "--int4_decode is incompatible with --int8_resident "
+                "(residency keeps only the int8 side-car; the non-"
+                "generate scoring paths would have no weights at all)"
             )
+        if args.int4_decode and args.int8_decode:
+            raise SystemExit(
+                "--int4_decode and --int8_decode are mutually exclusive "
+                "(one side-car bit-width per run)"
+            )
+        bits = 4 if args.int4_decode else 8
         if args.int8_prefill or args.int8_resident:
             from ..ops import w8a8
             from ..quantize import quantize_prefill_params
 
-            params = quantize_prefill_params(params)
+            params = quantize_prefill_params(params, bits=bits)
             w8a8.ENABLED = True
         elif args.int4_decode:
             from ..quantize import quantize_decode_params
@@ -472,6 +495,20 @@ def main(argv=None, *, eval_model=None):
             from ..quantize import quantize_decode_params
 
             params = quantize_decode_params(params)
+        draft_params = None
+        if args.speculative_draft:
+            if args.int8_resident:
+                raise SystemExit(
+                    "--speculative_draft is incompatible with "
+                    "--int8_resident (the multi-token verify forward "
+                    "needs the bf16 kernels residency drops)"
+                )
+            from ..quantize import quantize_decode_params
+
+            draft_bits = 4 if args.speculative_draft == "int4" else 8
+            draft_params = quantize_decode_params(
+                {"params": params["params"]}, bits=draft_bits
+            )
         if args.int8_resident:
             from ..quantize import strip_resident_params
 
@@ -481,6 +518,8 @@ def main(argv=None, *, eval_model=None):
             int8_kv=args.int8_kv,
             cache_media_latents=args.cache_demo_latents,
             media_latents_cache_size=args.demo_latents_cache_size,
+            speculative_draft_params=draft_params,
+            speculative_tokens=args.speculative_tokens,
         )
 
     rices_encoder = None

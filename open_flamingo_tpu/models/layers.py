@@ -73,22 +73,30 @@ class PDense(nn.Module):
         s = self.get_variable("qparams", "kernel_s")
         return q.astype(self.dtype) * s.astype(self.dtype)
 
+    def _w8a8_weight(self):
+        """int8 weight for the W8A8 MXU path, or None. int4 mode stores
+        the int4-grid values as int8 in kernel_q4 (activate_int4_stream
+        keeps it alongside the S4 decode stream) — same dequant math,
+        so prefill and decode see identical weights."""
+        if self.has_variable("qparams", "kernel_q"):
+            q = self.get_variable("qparams", "kernel_q")
+            if q.dtype == jnp.int8:
+                return q
+        if self.has_variable("qparams", "kernel_q4"):
+            return self.get_variable("qparams", "kernel_q4")
+        return None
+
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..ops import w8a8
 
         bias = self.bias if self.use_bias else None
-        if (
-            w8a8.use_w8a8(x)
-            and self.has_variable("qparams", "kernel_q")
-            # int4 side-cars (--int4_decode) are decode-stream-only:
-            # the int8 MXU path needs int8 weights
-            and self.get_variable("qparams", "kernel_q").dtype == jnp.int8
-        ):
+        w_q = self._w8a8_weight() if w8a8.use_w8a8(x) else None
+        if w_q is not None:
             # W8A8 prefill: both operands int8 -> int8 MXU rate
             # (ops/w8a8.py); opt-in via --int8_prefill
             return w8a8.w8a8_dot(
                 x,
-                self.get_variable("qparams", "kernel_q"),
+                w_q,
                 self.get_variable("qparams", "kernel_s"),
                 bias=bias,
                 out_dtype=self.dtype,

@@ -54,8 +54,8 @@ def quantize_weight(w, axis: int, bits: int = 8):
     cannot cross a jit boundary on the remote-TPU (axon) backend, so
     the packed jnp.int4 copy is materialized in-graph per generate call
     by activate_int4_stream — the decode loop then streams 2-per-byte
-    packed int4 at half the int8 DMA (measured 22.3 vs 49.2 us/launch
-    on the decode-shaped fused MLP, BASELINE.md)."""
+    packed int4 at half the int8 DMA (on-TPU A/B, BASELINE.md round 4:
+    OF-3B B=32 scan decode 4,020 tok/s int4 vs 3,445 int8 serial)."""
     assert bits in (8, 4), bits
     qmax = 127 if bits == 8 else 7
     w = jnp.asarray(w).astype(jnp.float32)
@@ -125,7 +125,13 @@ def activate_int4_stream(variables: Dict[str, Any]) -> Dict[str, Any]:
     the decode loop): S4 arrays cannot cross a jit boundary on the
     remote-TPU (axon) backend, and the cast is loop-invariant so XLA
     executes it once per call, not per decode step. No-op when no
-    kernel_q4 leaves exist (int8 mode / unquantized)."""
+    kernel_q4 leaves exist (int8 mode / unquantized).
+
+    The int8-stored copy stays in the tree (same input buffer — no
+    extra HBM): the W8A8 prefill path (--int8_prefill) consumes it on
+    the int8 MXU with the same int4-grid scales, so int4 decode and
+    W8A8 prefill compose (PDense.__call__ prefers kernel_q when int8,
+    else kernel_q4)."""
     q = variables.get("qparams")
     if q is None:
         return variables
@@ -139,21 +145,25 @@ def activate_int4_stream(variables: Dict[str, Any]) -> Dict[str, Any]:
             out[k] = walk(v) if isinstance(v, dict) else v
         if "kernel_q4" in out:
             found = True
-            out["kernel_q"] = out.pop("kernel_q4").astype(jnp.int4)
+            out["kernel_q"] = out["kernel_q4"].astype(jnp.int4)
         return out
 
     walked = walk(q)
     return {**variables, "qparams": walked} if found else variables
 
 
-def quantize_prefill_params(variables: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_prefill_params(
+    variables: Dict[str, Any], bits: int = 8
+) -> Dict[str, Any]:
     """Extend the `qparams` side-car to the ViT blocks so the W8A8
     prefill path (ops/w8a8.py, --int8_prefill) covers the vision
     forward too — q/k/v/out_proj/fc1/fc2 per block (patch_embed and the
     attention einsums stay bf16). Composes with
     quantize_decode_params (the LM side of W8A8 reuses the same int8
-    decode weights)."""
-    variables = quantize_decode_params(variables)
+    decode weights). bits=4 puts the LM on the int4 grid (int4 decode
+    stream + W8A8 prefill over the same int4-grid values); the ViT
+    side-car stays int8 either way."""
+    variables = quantize_decode_params(variables, bits=bits)
     # the qparams tree must mirror the params tree path exactly —
     # Flamingo names the ViT subtree "vision_encoder" (models/flamingo.py)
     vision = variables["params"].get("vision_encoder")

@@ -43,12 +43,17 @@ from .models.decoders.common import KVCache
 from .models.flamingo import Flamingo, count_media
 
 
-def _prefill(model, params, vision_x, lang_x, attention_mask, cache_len):
+def _prefill(model, params, vision_x, lang_x, attention_mask, cache_len,
+             latents=None):
     """Vision encode + prompt prefill + media-KV capture for one model.
-    Returns (last-position logits (B, V), cache, media latents)."""
+    Returns (last-position logits (B, V), cache, media latents).
+    Pass `latents` to skip the vision encode (the draft reuses the
+    target's — a mismatched draft only costs acceptance, not
+    exactness, so sharing is always safe and halves the ViT work)."""
     from .models.lm import extract_media_kv
 
-    latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
+    if latents is None:
+        latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
     scan_groups = None
     if model.cfg.scan_layers:
         n = model.cfg.cross_attn_every_n or 1
@@ -88,9 +93,16 @@ def speculative_generate(
     attention_mask: jax.Array,
     cfg: GenerationConfig,
     num_draft_tokens: int = 4,
+    return_stats: bool = False,
+    media_latents: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Greedy generate with draft speculation. Returns (B, max_new)
-    ids — EXACTLY what flamingo_generate(model, ...) greedy returns."""
+    ids — EXACTLY what flamingo_generate(model, ...) greedy returns.
+
+    return_stats=True returns (ids, stats) with stats["iters"] = the
+    number of draft+verify iterations run — max_new/iters is the mean
+    committed tokens per target forward (acceptance+1, the speculative
+    speedup's driver)."""
     assert not cfg.do_sample, "speculative decoding is greedy-only"
     assert cfg.num_beams == 1, "speculative decoding is greedy-only"
     # model-axis-sharded params must not reach the single-chip fused
@@ -121,11 +133,14 @@ def speculative_generate(
     cache_len = -(-(t + max_new + D + 1) // 16) * 16
 
     t_logits0, t_cache, t_latents = _prefill(
-        model, params, vision_x, lang_x, attention_mask, cache_len
+        model, params, vision_x, lang_x, attention_mask, cache_len,
+        latents=media_latents,
     )
+    # the draft reuses the target's latents: one ViT pass per generate
+    # (exactness never depends on the draft's inputs)
     d_logits0, d_cache, d_latents = _prefill(
         draft_model, draft_params, vision_x, lang_x, attention_mask,
-        cache_len,
+        cache_len, latents=t_latents,
     )
     n_media_t = count_media(lang_x, model.cfg.media_token_id)
     n_media_d = count_media(lang_x, draft_model.cfg.media_token_id)
@@ -155,11 +170,11 @@ def speculative_generate(
     out0 = out0.at[:, 0].set(last0)
 
     def cond(carry):
-        out, n, last, finished, t_cache, d_cache = carry
+        out, n, last, finished, t_cache, d_cache, iters = carry
         return (n < max_new) & ~jnp.all(finished)
 
     def body(carry):
-        out, n, last, finished, t_cache, d_cache = carry
+        out, n, last, finished, t_cache, d_cache, iters = carry
 
         # --- draft phase: D+1 single-token steps, feds = [last, d1..dD]
         def draft_body(c, i):
@@ -220,10 +235,17 @@ def speculative_generate(
         t_cache2 = _rollback(t_cache2, start, a + 1, D + 1)
         d_cache2 = _rollback(d_cache2, start, a + 1, D + 1)
 
-        return (out, n + a + 1, emitted_last, fin, t_cache2, d_cache2)
+        return (
+            out, n + a + 1, emitted_last, fin, t_cache2, d_cache2,
+            iters + 1,
+        )
 
     init = (
-        out0, jnp.ones((), jnp.int32), last0, finished0, t_cache, d_cache
+        out0, jnp.ones((), jnp.int32), last0, finished0, t_cache, d_cache,
+        jnp.zeros((), jnp.int32),
     )
-    out, *_ = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body, init)
+    out, iters = final[0], final[-1]
+    if return_stats:
+        return out[:, :max_new], {"iters": iters}
     return out[:, :max_new]

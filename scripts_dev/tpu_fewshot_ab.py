@@ -34,11 +34,14 @@ from open_flamingo_tpu.quantize import quantize_decode_params
 cfg = flamingo_config("OF-3B")
 B, T_IMG, T_TXT, NEW, BEAMS = 8, 5, 128, 20, 3
 
-bf16 = Flamingo(cfg=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+# bf16 baseline runs the SCAN layout too: same measured speed as
+# unrolled (BASELINE.md round 3) at ~1/20th the compile time — the
+# round-1 344 tok/s reference point was the unrolled layout
 scan = Flamingo(
     cfg=dataclasses.replace(cfg, scan_layers=True),
     dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
 )
+bf16 = scan
 
 
 def zeros_params(m):

@@ -1,12 +1,15 @@
-"""On-TPU A/B: continuous-batching serving engine vs static batching.
+"""On-TPU A/B: continuous-batching ServingEngine vs static batching
+under churn (mixed max_new lengths, saturated queue).
 
-Workload: requests with mixed generation lengths (the serving reality —
-EOS lands at different steps). Static batching retires each batch at
-its slowest sequence; the engine back-fills retired rows from the
-queue. Reported: requests/s and generated tokens/s for both modes.
+Workload: 64 requests, ragged prompts (8-32 tokens, left-padded to 32),
+one image each, max_new drawn from {8, 16, 32, 64}. Static batching
+retires a whole batch at the speed of its longest request; the engine
+re-fills each row the chunk after it retires. Useful-token throughput
+counts only requested tokens (the static batch's overshoot is waste).
 
-Zeros weights (throughput is value-independent); generation length is
-forced per request via max_new_tokens so the mix is controlled.
+Zeros weights (throughput is value-independent; no EOS fires, so every
+request runs its full max_new — the churn is entirely length-driven).
+OF-3B scan + int8 decode side-car (the production serving stack).
 """
 import dataclasses
 import json
@@ -27,6 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from open_flamingo_tpu.configs import flamingo_config
 from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
 from open_flamingo_tpu.models.flamingo import Flamingo
+from open_flamingo_tpu.quantize import quantize_decode_params
 from open_flamingo_tpu.serving import ServingEngine
 
 cfg = flamingo_config("OF-3B")
@@ -34,82 +38,98 @@ model = Flamingo(
     cfg=dataclasses.replace(cfg, scan_layers=True),
     dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
 )
-
-B, P_MAX, S_MAX, CHUNK = 8, 32, 256, 8
-# mixed lengths: short/medium/long generations, mean 32
-LENGTHS = [8, 16, 32, 64]
-N_REQ = 48
+B, P_MAX, CHUNK, S_MAX = 8, 32, 8, 256
+N_REQ = 64
 rng = np.random.default_rng(0)
-req_lens = [LENGTHS[i % len(LENGTHS)] for i in range(N_REQ)]
-
-vision = np.zeros((1, 1, 224, 224, 3), np.float32)
-ids = np.zeros((P_MAX,), np.int32)
-ids[0] = cfg.media_token_id
 
 
-def make_params():
-    vx = jnp.asarray(vision[None], jnp.bfloat16)
-    i2 = jnp.asarray(ids[None])
+def zeros_params():
+    vx = jnp.zeros((1, 1, 1, 224, 224, 3), jnp.bfloat16)
+    i2 = jnp.zeros((1, P_MAX), jnp.int32).at[:, 0].set(cfg.media_token_id)
     m2 = jnp.ones((1, P_MAX), jnp.int32)
-    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), vx, i2, m2))
-    return jax.jit(
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), vx, i2, m2)
+    )
+    z = jax.jit(
         lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
     )()
+    return jax.jit(quantize_decode_params)(z)
 
 
-params = make_params()
+params = zeros_params()
 
+# --- workload ----------------------------------------------------------------
+reqs = []
+for i in range(N_REQ):
+    p = int(rng.integers(8, P_MAX + 1))
+    ids = rng.integers(10, 1000, size=(p,)).astype(np.int32)
+    ids[0] = cfg.media_token_id
+    vx = np.zeros((1, 1, 224, 224, 3), np.float32)
+    max_new = int(rng.choice([8, 16, 32, 64]))
+    reqs.append((vx, ids, max_new))
+useful = sum(r[2] for r in reqs)
+print(f"workload: {N_REQ} requests, {useful} useful tokens", flush=True)
 
+gen = GenerationConfig(
+    max_new_tokens=0, pad_token_id=1, eos_token_id=cfg.eoc_token_id,
+)
+
+# --- engine ------------------------------------------------------------------
 def run_engine():
     eng = ServingEngine(
         model, params, batch_size=B, max_seq_len=S_MAX,
-        max_prompt_len=P_MAX, chunk_tokens=CHUNK,
-        gen=GenerationConfig(max_new_tokens=0, pad_token_id=1,
-                             eos_token_id=-1),
+        max_prompt_len=P_MAX, chunk_tokens=CHUNK, gen=gen,
     )
-    for ln in req_lens:
-        eng.submit(vision, ids, max_new_tokens=ln)
+    for vx, ids, max_new in reqs:
+        eng.submit(vx, ids, max_new_tokens=max_new)
     t0 = time.perf_counter()
     res = eng.run()
     dt = time.perf_counter() - t0
-    toks = sum(len(v) for v in res.values())
-    return dt, toks
+    assert len(res) == N_REQ
+    return dt, eng.epochs
 
 
+print("engine warmup (compiles prefill/admit/chunk)...", flush=True)
+dt_warm, _ = run_engine()
+print(f"engine warm pass {dt_warm:.1f}s", flush=True)
+dt_eng, epochs = run_engine()
+
+# --- static batching ---------------------------------------------------------
 def run_static():
-    """Static batches of B; each batch decodes to its LONGEST request."""
-    total = 0
-    gcfgs = {}
     t0 = time.perf_counter()
     for s in range(0, N_REQ, B):
-        lens = req_lens[s : s + B]
-        mx = max(lens)
-        if mx not in gcfgs:
-            gcfgs[mx] = GenerationConfig(
-                max_new_tokens=mx, pad_token_id=1, eos_token_id=-1
+        batch = reqs[s : s + B]
+        ids = np.full((B, P_MAX), 1, np.int32)
+        mask = np.zeros((B, P_MAX), np.int32)
+        for i, (_, r_ids, _) in enumerate(batch):
+            ids[i, P_MAX - len(r_ids):] = r_ids
+            mask[i, P_MAX - len(r_ids):] = 1
+        vx = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
+        max_new = -(-max(r[2] for r in batch) // 8) * 8
+        g = dataclasses.replace(gen, max_new_tokens=max_new)
+        jitted = jax.jit(
+            lambda p, v, i2, m2, _g=g: flamingo_generate(
+                model, p, v, i2, m2, _g
             )
-        vx = jnp.zeros((len(lens), 1, 1, 224, 224, 3), jnp.bfloat16)
-        i2 = jnp.tile(jnp.asarray(ids[None]), (len(lens), 1))
-        m2 = jnp.ones((len(lens), P_MAX), jnp.int32)
-        out = flamingo_generate(model, params, vx, i2, m2, gcfgs[mx])
-        np.asarray(out)
-        total += sum(lens)        # only the requested tokens are useful
-    return time.perf_counter() - t0, total
+        )
+        np.asarray(jitted(params, vx, jnp.asarray(ids), jnp.asarray(mask)))
+    return time.perf_counter() - t0
 
 
-# warm both paths (compile), then measure
-print("warming engine...", flush=True)
-run_engine()
-print("warming static...", flush=True)
+print("static warmup...", flush=True)
 run_static()
+dt_static = run_static()
 
-e_dt, e_toks = run_engine()
-s_dt, s_toks = run_static()
 out = {
-    "engine_tok_s": round(e_toks / e_dt, 1),
-    "engine_req_s": round(N_REQ / e_dt, 2),
-    "static_tok_s": round(s_toks / s_dt, 1),
-    "static_req_s": round(N_REQ / s_dt, 2),
-    "speedup": round((N_REQ / e_dt) / (N_REQ / s_dt), 3),
+    "useful_tokens": useful,
+    "engine": {
+        "wall_s": round(dt_eng, 2),
+        "useful_tok_s": round(useful / dt_eng, 1),
+        "epochs": epochs,
+    },
+    "static": {
+        "wall_s": round(dt_static, 2),
+        "useful_tok_s": round(useful / dt_static, 1),
+    },
 }
 print(json.dumps(out))

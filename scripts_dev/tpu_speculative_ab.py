@@ -1,12 +1,20 @@
-"""On-TPU speculative decoding A/B (latency regime, B=1/B=4).
+"""On-TPU A/B: speculative decoding (draft proposes D, target verifies
+in one (B, D+1) forward) vs the target's plain bf16 generate.
 
-Zeros-weight draft and target both argmax to a constant token, so the
-zeros run measures the FULL-ACCEPTANCE ceiling (real kernel + cache +
-rollback mechanics, ideal draft); a random-init draft measures the
-zero-acceptance floor. Real speedup with a trained draft lands between
-them, weighted by the acceptance rate.
+Draft pairing (the zero-extra-model option): the SAME weights at a
+cheaper stream — an int4-grid draft proposing for the bf16 target.
+Acceptance is then the int4-vs-bf16 greedy agreement along the
+target's path, measured exactly via speculative_generate's iteration
+counter (tokens-per-target-forward = max_new/iters).
 
-Draft: MPT-arch, 6 layers x d=768 (~1/12 the target's weight stream).
+Weights are seeded gaussians at lecun scale (LN scales 1, biases 0):
+random weights give a REALISTIC-PESSIMISTIC acceptance (near-uniform
+logits flip ties easily; real checkpoints agree more). The self-draft
+row (draft == target bf16) is the mechanical ceiling: acceptance 1.
+
+Also the FIRST real-chip compile of the multi-token verify path
+(interpret tests cannot catch Mosaic lowering errors — CLAUDE.md),
+and an exactness check: speculative tokens == flamingo_generate's.
 """
 import dataclasses
 import json
@@ -27,80 +35,115 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from open_flamingo_tpu.configs import flamingo_config
 from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
 from open_flamingo_tpu.models.flamingo import Flamingo
+from open_flamingo_tpu.quantize import quantize_decode_params
 from open_flamingo_tpu.speculative import speculative_generate
 
 cfg = flamingo_config("OF-3B")
-target = Flamingo(cfg=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-draft_cfg = dataclasses.replace(
-    cfg,
-    lm=dataclasses.replace(
-        cfg.lm, num_layers=6, hidden_size=768, num_heads=12,
-        intermediate_size=3072,
-    ),
+model = Flamingo(
+    cfg=dataclasses.replace(cfg, scan_layers=True),
+    dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
 )
-draft = Flamingo(cfg=draft_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-
-T_TXT, NEW, D = 32, 64, 4
+T_TXT, NEW = 32, 64
 
 
-def make_params(m, B, random=False):
+def random_params(seed=0):
+    vx = jnp.zeros((1, 1, 1, 224, 224, 3), jnp.bfloat16)
+    i2 = jnp.zeros((1, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
+    m2 = jnp.ones((1, T_TXT), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), vx, i2, m2)
+    )
+    paths = jax.tree_util.tree_flatten_with_path(shapes)[0]
+
+    def build():
+        key = jax.random.PRNGKey(seed)
+        leaves = []
+        for i, (path, leaf) in enumerate(paths):
+            name = str(path[-1])
+            if "scale" in name:
+                leaves.append(jnp.ones(leaf.shape, leaf.dtype))
+            elif "bias" in name:
+                leaves.append(jnp.zeros(leaf.shape, leaf.dtype))
+            else:
+                fan_in = leaf.shape[-2] if leaf.ndim >= 2 else leaf.shape[-1]
+                leaves.append(
+                    (jax.random.normal(
+                        jax.random.fold_in(key, i), leaf.shape, jnp.float32
+                    ) * (1.0 / np.sqrt(max(fan_in, 1)))).astype(leaf.dtype)
+                )
+        return jax.tree.unflatten(jax.tree.structure(shapes), leaves)
+
+    return jax.jit(build)()
+
+
+# HBM budget (16GB v5e): bf16 base (~6.7GB, the einsum verify path
+# needs the bf16 kernels) + ONE side-car. So the pairing is VERDICT's
+# "int4 drafts for the bf16 target" — base + int4-grid side-car only.
+base = random_params()
+p_int4 = jax.jit(lambda v: quantize_decode_params(v, bits=4))(base)
+
+
+def inputs(B):
     vision_x = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
     ids = jnp.zeros((B, T_TXT), jnp.int32).at[:, 0].set(cfg.media_token_id)
     mask = jnp.ones((B, T_TXT), jnp.int32)
-    shapes = jax.eval_shape(
-        lambda: m.init(jax.random.PRNGKey(0), vision_x, ids, mask)
-    )
-    if random:
-        leaves, treedef = jax.tree.flatten(shapes)
-
-        @jax.jit
-        def mk():
-            keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
-            return treedef.unflatten([
-                (jax.random.normal(k, l.shape, jnp.float32) * 0.02)
-                .astype(l.dtype)
-                for k, l in zip(keys, leaves)
-            ])
-
-        return mk(), (vision_x, ids, mask)
-    params = jax.jit(
-        lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
-    )()
-    return params, (vision_x, ids, mask)
+    return vision_x, ids, mask
 
 
-def bench(fn, args):
-    np.asarray(fn(*args))
-    ts = []
+def time_fn(run):
+    t0 = time.perf_counter()
+    first = run()
+    compile_s = time.perf_counter() - t0
+    times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+        run()
+        times.append(time.perf_counter() - t0)
+    return first, sorted(times)[len(times) // 2], compile_s
 
 
-for B in (1, 4):
-    gen = GenerationConfig(max_new_tokens=NEW, pad_token_id=1,
-                           eos_token_id=cfg.eoc_token_id)
-    tp, batch = make_params(target, B)
-    dp_zero, _ = make_params(draft, B)
-    dp_rand, _ = make_params(draft, B, random=True)
-
-    base = jax.jit(
-        lambda p, vx, i, mk: flamingo_generate(target, p, vx, i, mk, gen)
+gen_cfg = GenerationConfig(
+    max_new_tokens=NEW, pad_token_id=1, eos_token_id=cfg.eoc_token_id,
+)
+out = {}
+for B in (1, 8):
+    vx, ids, mask = inputs(B)
+    base_jit = jax.jit(
+        lambda p, v, i, m: flamingo_generate(model, p, v, i, m, gen_cfg)
     )
-    spec = jax.jit(
-        lambda p, dpp, vx, i, mk: speculative_generate(
-            target, p, draft, dpp, vx, i, mk, gen, num_draft_tokens=D
+    want, dt_base, cs = time_fn(
+        lambda: np.asarray(base_jit(base, vx, ids, mask))
+    )
+    row = {"base_bf16": {"tok_s": round(B * NEW / dt_base, 1),
+                         "p50_img_ms": round(dt_base / B * 1e3, 1),
+                         "compile_s": round(cs)}}
+    for name, dp, D in (
+        ("spec_int4_draft_D4", p_int4, 4),
+        ("spec_self_draft_D4", base, 4),
+    ):
+        spec_jit = jax.jit(
+            lambda p, q, v, i, m, _D=D: speculative_generate(
+                model, p, model, q, v, i, m, gen_cfg,
+                num_draft_tokens=_D, return_stats=True,
+            )
         )
-    )
-    t_base = bench(lambda vx, i, mk: base(tp, vx, i, mk), batch)
-    t_ceil = bench(lambda vx, i, mk: spec(tp, dp_zero, vx, i, mk), batch)
-    t_floor = bench(lambda vx, i, mk: spec(tp, dp_rand, vx, i, mk), batch)
-    print(json.dumps({
-        "B": B, "new": NEW, "D": D,
-        "greedy_tok_s": round(B * NEW / t_base, 1),
-        "spec_full_accept_tok_s": round(B * NEW / t_ceil, 1),
-        "spec_zero_accept_tok_s": round(B * NEW / t_floor, 1),
-        "ceiling_speedup": round(t_base / t_ceil, 2),
-    }))
+        def run(_dp=dp, _jit=spec_jit):
+            o, st = _jit(base, _dp, vx, ids, mask)
+            return np.asarray(o), int(st["iters"])
+        (got, iters), dt, cs = time_fn(run)
+        # the verify forward runs the einsum path (T=D+1) while the
+        # bf16 base streams through the fused T=1 kernels — token
+        # drift between the two is NUMERICS (tie flips), not a
+        # speculation bug, so report the match fraction (exactness
+        # per numerics-path is tests/test_speculative.py's contract)
+        match = float((got == want).mean())
+        row[name] = {
+            "tok_s": round(B * NEW / dt, 1),
+            "p50_img_ms": round(dt / B * 1e3, 1),
+            "tokens_per_verify": round(NEW / max(iters, 1), 2),
+            "match_vs_base": round(match, 3),
+            "compile_s": round(cs),
+        }
+        print(B, name, json.dumps(row[name]), flush=True)
+    out[f"b{B}"] = row
+print(json.dumps(out))

@@ -321,7 +321,12 @@ def test_int4_quality_drift_small(rng):
         if hasattr(leaf, "dtype") and leaf.dtype == jnp.int4
     ]
     assert len(int4_leaves) > 0
-    assert count_q4(act["qparams"]["lm"]) == 0
+    # the int8-stored copy stays (same buffer) for the W8A8 prefill
+    # path; every activated parent carries BOTH kernel_q (S4) and
+    # kernel_q4 (int8-on-int4-grid)
+    assert count_q4(act["qparams"]["lm"]) == count_q4(
+        variables_q["qparams"]["lm"]
+    )
     gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=0,
                                eos_token_id=-1)
     dense_stream.FORCE_FUSED = True

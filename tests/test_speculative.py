@@ -127,3 +127,67 @@ def test_speculative_scan_target(rng):
         num_draft_tokens=3,
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_speculative_return_stats_and_latents(rng):
+    """return_stats counts verify iterations (full acceptance commits
+    D+1/iter); media_latents= skips the vision encode and is exact."""
+    from open_flamingo_tpu.models.flamingo import Flamingo
+
+    model, params, draft, dparams, vision_x, ids, mask = _models(rng)
+    cfg = GenerationConfig(max_new_tokens=8, pad_token_id=0,
+                           eos_token_id=-1)
+    want = np.asarray(
+        flamingo_generate(model, params, vision_x, ids, mask, cfg)
+    )
+    # self-draft: acceptance is total, so 8 tokens need ceil(8/4)=2 iters
+    got, stats = speculative_generate(
+        model, params, model, params, vision_x, ids, mask, cfg,
+        num_draft_tokens=3, return_stats=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(stats["iters"]) == 2
+    # random draft needs at least as many verifies
+    _, stats_rand = speculative_generate(
+        model, params, draft, dparams, vision_x, ids, mask, cfg,
+        num_draft_tokens=3, return_stats=True,
+    )
+    assert int(stats_rand["iters"]) >= 2
+    # precomputed latents: identical output, no vision encode
+    latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
+    got_lat = np.asarray(speculative_generate(
+        model, params, draft, dparams, None, ids, mask, cfg,
+        num_draft_tokens=3, media_latents=latents,
+    ))
+    np.testing.assert_array_equal(got_lat, want)
+
+
+def test_eval_model_speculative_path(rng):
+    """OpenFlamingoEvalModel with speculative_draft_params emits the
+    same text as the plain greedy path (exactness contract) via the
+    jitted speculative generate."""
+    from test_quantize import _tiny_family_model
+
+    from open_flamingo_tpu.eval.eval_model import OpenFlamingoEvalModel
+    from open_flamingo_tpu.quantize import quantize_decode_params
+    from open_flamingo_tpu.tokenization import SimpleTokenizer
+
+    model, params, vision_x, ids, mask = _tiny_family_model("mpt", rng)
+    tok = SimpleTokenizer(["hello", "world", "a", "b", "c"])
+    imgs = [[np.asarray(v, np.float32) for v in row]
+            for row in np.asarray(vision_x[:, :, 0])]
+    draft = quantize_decode_params(
+        {"params": params["params"]}, bits=8
+    )
+    kw = dict(image_processor=lambda im: im, tokenizer=tok)
+    plain = OpenFlamingoEvalModel(model, params, **kw)
+    spec = OpenFlamingoEvalModel(
+        model, params, speculative_draft_params=draft,
+        speculative_tokens=2, **kw,
+    )
+    texts = ["<image>hello world a"] * len(imgs)
+    out_plain = plain.get_outputs(texts, imgs, max_generation_length=6,
+                                  num_beams=1)
+    out_spec = spec.get_outputs(texts, imgs, max_generation_length=6,
+                                num_beams=1)
+    assert out_plain == out_spec

@@ -175,3 +175,51 @@ def test_generate_int8_prefill_quality(rng, scan):
     )
     match = (out_ref == out_q).mean()
     assert match >= 0.75, (match, out_ref, out_q)
+
+
+def test_generate_int4_w8a8_compose_quality(rng):
+    """Round-4 composition: --int4_decode + --int8_prefill in one run.
+    activate_int4_stream keeps the int8-stored int4-grid copy, PDense's
+    W8A8 path consumes it during prefill, and the decode loop streams
+    the S4 copy — tokens match the bf16 greedy at >=75% on a tiny
+    model (same gate as the int8/int4 quality tests)."""
+    import dataclasses
+
+    from test_quantize import _tiny_family_model
+
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.models.flamingo import Flamingo
+    from open_flamingo_tpu.models.lm import to_scanned_layout
+    from open_flamingo_tpu.quantize import quantize_prefill_params
+
+    model, params, vision_x, ids, mask = _tiny_family_model("mpt", rng)
+    lm_sc = to_scanned_layout(
+        jax.tree.map(np.asarray, params["params"]["lm"]),
+        model.cfg.lm.num_layers, model.cfg.cross_attn_every_n,
+    )
+    p = dict(params["params"])
+    p["lm"] = jax.tree.map(jnp.asarray, lm_sc)
+    params = {"params": p}
+    model = Flamingo(cfg=dataclasses.replace(model.cfg, scan_layers=True))
+    variables_q = quantize_prefill_params(params, bits=4)
+    # LM decode weights on the int4 grid, ViT side-car int8
+    assert any(
+        "kernel_q4" in sub
+        for sub in jax.tree.leaves(
+            variables_q["qparams"]["lm"],
+            is_leaf=lambda x: isinstance(x, dict) and "kernel_q4" in x,
+        )
+    )
+    assert "vision_encoder" in variables_q["qparams"]
+    gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=0,
+                               eos_token_id=-1)
+    out_ref = np.asarray(
+        flamingo_generate(model, params, vision_x, ids, mask, gen_cfg)
+    )
+    w8a8.ENABLED = True
+    w8a8.MIN_TOKENS = 4
+    out_q = np.asarray(
+        flamingo_generate(model, variables_q, vision_x, ids, mask, gen_cfg)
+    )
+    match = (out_ref == out_q).mean()
+    assert match >= 0.75, (match, out_ref, out_q)
