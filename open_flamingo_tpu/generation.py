@@ -145,6 +145,33 @@ def _gather_beams(tree, indices, batch, beams):
     )
 
 
+def _repeat_beams(cache: KVCache, k: int) -> KVCache:
+    """Replicate each batch row's cache k times (beam-major: batch b's
+    beams land at rows b*k..b*k+k-1). The inverse-shape companion of
+    _gather_beams, run ONCE after the (B-row) prefill so the prompt
+    forward never executes per beam. Media K/V is replicated too —
+    decode rows index it per-row."""
+
+    def rep(x, axis):
+        return None if x is None else jnp.repeat(x, k, axis=axis)
+
+    def r_layer(l):
+        ax = 1 if l.k.ndim == 5 else 0      # group-stacked scan cache
+        return LayerKV(
+            k=rep(l.k, ax), v=rep(l.v, ax),
+            k_s=rep(l.k_s, ax + 1), v_s=rep(l.v_s, ax + 1),
+        )
+
+    media = cache.media
+    if media is not None:
+        media = tuple(r_layer(l) for l in media)
+    return cache.replace(
+        layers=tuple(r_layer(l) for l in cache.layers),
+        pad_mask=rep(cache.pad_mask, 0),
+        media=media,
+    )
+
+
 def beam_search(
     step_fn: StepFn,
     first_logits: jax.Array,
@@ -300,11 +327,17 @@ def flamingo_generate(
         latents = model.apply(params, vision_x, method=Flamingo.embed_vision)
     n_media = count_media(lang_x, model.cfg.media_token_id)
 
+    # Beam replication happens AFTER prefill: all K beams of a batch row
+    # share an identical prompt, so prefilling at B*K rows would re-run
+    # the compute-bound prompt forward K times for K identical results
+    # (measured 3x the prefill cost at the eval harness's beam 3,
+    # BASELINE.md round 4). Prefill at B; _repeat_beams copies the
+    # cache/logits beam-major afterwards (a one-off HBM copy).
     if k > 1:
-        latents = jnp.repeat(latents, k, axis=0)
-        lang_x = jnp.repeat(lang_x, k, axis=0)
-        attention_mask = jnp.repeat(attention_mask, k, axis=0)
+        decode_latents = jnp.repeat(latents, k, axis=0)
         n_media = jnp.repeat(n_media, k, axis=0)
+    else:
+        decode_latents = latents
 
     # K/V cache in the model's compute dtype: decode is cache-bandwidth
     # bound, fp32 K/V would double the HBM traffic of every step.
@@ -354,11 +387,14 @@ def flamingo_generate(
         media_kv = tuple(q_layer(l) for l in media_kv)
     cache = cache.replace(media=media_kv)
     first_logits = logits[:, -1]
+    if k > 1:
+        cache = _repeat_beams(cache, k)
+        first_logits = jnp.repeat(first_logits, k, axis=0)
 
     def step_fn(tok, mask, cache):
         return model.apply(
             params,
-            latents,
+            decode_latents,
             tok,
             mask,
             cache,

@@ -144,6 +144,9 @@ class ServingEngine:
 
         self._prefill_jit = jax.jit(self._prefill)
         self._admit_jit = jax.jit(self._admit, donate_argnums=(0,))
+        self._admit_batch_jit = jax.jit(
+            self._admit_batch, donate_argnums=(0,)
+        )
         self._chunk_jit = jax.jit(self._decode_chunk, donate_argnums=(0,))
         self._state = None
 
@@ -175,12 +178,16 @@ class ServingEngine:
         }
 
     def _prefill(self, params, vision_x, ids, mask):
-        """(1, P_max) prompt -> (last logits (1, V), prompt LayerKVs,
-        media LayerKVs, latents (1, T_img, n_lat, D), pad row (P,))."""
+        """(R, P_max) prompts -> (last logits (R, V), prompt LayerKVs,
+        media LayerKVs, latents (R, T_img, n_lat, D), pad rows (R, P)).
+        R=1 for single admissions; R=batch_size for the batched
+        admission path (one vision+prefill forward for every free row —
+        serialized 1-row prefills were the engine's dominant cost under
+        churn, BASELINE.md round 4)."""
         m = self.model
         latents = m.apply(params, vision_x, method=Flamingo.embed_vision)
         cache = KVCache.create(
-            m.cfg.lm, 1, self.p_max, dtype=m.dtype,
+            m.cfg.lm, ids.shape[0], self.p_max, dtype=m.dtype,
             scan_groups=self._scan_groups, int8=self._int8_kv,
         )
         (logits, _, cache), variables = m.apply(
@@ -204,7 +211,7 @@ class ServingEngine:
             media = tuple(q_layer(l) for l in media)
         return (
             logits[:, -1], cache.layers, media, latents,
-            cache.pad_mask[0],
+            cache.pad_mask,
         )
 
     def _admit(self, state, row, pre_layers, pre_media, pre_latents,
@@ -294,6 +301,88 @@ class ServingEngine:
             "step": state["step"].at[row].set(0),
         }
 
+    def _admit_batch(self, state, admit_mask, pre_layers, pre_media,
+                     pre_latents, pre_pad, first_logits, n_media):
+        """Merge a (B-row) batched prefill into every row where
+        admit_mask is True — ONE jitted call instead of per-row
+        prefill+admit pairs. Row r of every pre_* tensor is aligned to
+        engine row r (dummy rows carry zeros and are masked out)."""
+        cache = state["cache"]
+        start = cache.index - self.p_max
+        stacked = self._scan_groups is not None
+        b_ax_kv = 1 if stacked else 0   # row axis in K/V tensors
+        b_ax_sc = 2 if stacked else 1   # row axis in scale tensors
+
+        def rowmask(x, axis):
+            shape = [1] * x.ndim
+            shape[axis] = self.b
+            return admit_mask.reshape(shape)
+
+        def merge(big, pre):
+            if big is None or pre is None:
+                return None
+            idx = [0] * big.ndim
+            idx[big.ndim - 2] = start      # (..., S, D): S is -2
+            tmp = jax.lax.dynamic_update_slice(
+                big, pre.astype(big.dtype), tuple(idx)
+            )
+            return jnp.where(rowmask(big, b_ax_kv), tmp, big)
+
+        def merge_scale(big, pre):
+            if big is None or pre is None:
+                return None
+            idx = [0] * big.ndim
+            idx[-1] = start                # (..., B, S): S is last
+            tmp = jax.lax.dynamic_update_slice(big, pre, tuple(idx))
+            return jnp.where(rowmask(big, b_ax_sc), tmp, big)
+
+        layers = tuple(
+            LayerKV(
+                k=merge(bl.k, pl.k), v=merge(bl.v, pl.v),
+                k_s=merge_scale(bl.k_s, pl.k_s),
+                v_s=merge_scale(bl.v_s, pl.v_s),
+            )
+            for bl, pl in zip(cache.layers, pre_layers)
+        )
+        window = jax.lax.dynamic_update_slice(
+            jnp.zeros((self.b, self.s_max), bool), pre_pad, (0, start)
+        )
+        pad_mask = jnp.where(admit_mask[:, None], window, cache.pad_mask)
+        cache = cache.replace(layers=layers, pad_mask=pad_mask)
+
+        media = state["media"]
+        if pre_media is not None:
+            def m_kv(big, pre):
+                if big is None or pre is None:
+                    return None
+                return jnp.where(
+                    rowmask(big, b_ax_kv), pre.astype(big.dtype), big
+                )
+
+            def m_sc(big, pre):
+                if big is None or pre is None:
+                    return None
+                return jnp.where(rowmask(big, b_ax_sc), pre, big)
+
+            media = tuple(
+                LayerKV(k=m_kv(b.k, p.k), v=m_kv(b.v, p.v),
+                        k_s=m_sc(b.k_s, p.k_s), v_s=m_sc(b.v_s, p.v_s))
+                for b, p in zip(media, pre_media)
+            )
+        lat_mask = admit_mask.reshape((self.b,) + (1,) * (
+            state["latents"].ndim - 1))
+        return {
+            "cache": cache,
+            "media": media,
+            "latents": jnp.where(lat_mask, pre_latents, state["latents"]),
+            "n_media": jnp.where(admit_mask, n_media, state["n_media"]),
+            "logits": jnp.where(
+                admit_mask[:, None], first_logits, state["logits"]
+            ),
+            "finished": jnp.where(admit_mask, False, state["finished"]),
+            "step": jnp.where(admit_mask, 0, state["step"]),
+        }
+
     def _decode_chunk(self, state, params):
         """chunk_tokens greedy steps for every row. Token semantics are
         exactly generation.greedy_or_sample's (pad after EOS, per-row
@@ -301,7 +390,13 @@ class ServingEngine:
         from .quantize import activate_int4_stream
 
         m, cfg = self.model, self.gen
-        # int4 decode: in-graph, loop-invariant (see activate_int4_stream)
+        # int4 decode: in-graph, loop-invariant within the chunk (see
+        # activate_int4_stream). The cast RECURS once per chunk — S4
+        # arrays cannot cross the jit->jit boundary on this backend
+        # even device-resident (RecursionError, reproduced by
+        # scripts_dev/tpu_s4_boundary_probe.py), so hoisting it into
+        # engine state is impossible; raise chunk_tokens to amortize
+        # (~1.1 GB re-cast per chunk for OF-3B).
         params = activate_int4_stream(params)
 
         def step_fn(tok, mask, cache):
@@ -374,9 +469,10 @@ class ServingEngine:
         ids[0, self.p_max - p:] = req.input_ids
         mask[0, self.p_max - p:] = req.attention_mask
         vx = jnp.asarray(req.vision_x[None], self.model.dtype)
-        logits, layers, media, latents, pad_row = self._prefill_jit(
+        logits, layers, media, latents, pad = self._prefill_jit(
             self.params, vx, jnp.asarray(ids), jnp.asarray(mask)
         )
+        pad_row = pad[0]
         if self._state["media"] is None and media is not None:
             # first admission shapes the engine media/latent containers
             stacked = self._scan_groups is not None
@@ -413,6 +509,51 @@ class ServingEngine:
         )
         self._rows[row] = _RowState(req.rid, [], req.max_new_tokens)
 
+    def _admit_many(self, admits):
+        """Admit several requests in ONE B-row prefill + ONE merge call.
+        admits: list of (row, _Request). Dummy rows prefill zeros and
+        are masked out of the merge."""
+        first_vx = admits[0][1].vision_x
+        ids = np.zeros((self.b, self.p_max), np.int32)
+        mask = np.zeros((self.b, self.p_max), np.int32)
+        vx = np.zeros((self.b,) + first_vx.shape, np.float32)
+        admit_mask = np.zeros((self.b,), bool)
+        for row, req in admits:
+            p = req.input_ids.shape[0]
+            ids[row, self.p_max - p:] = req.input_ids
+            mask[row, self.p_max - p:] = req.attention_mask
+            vx[row] = req.vision_x
+            admit_mask[row] = True
+        logits, layers, media, latents, pad = self._prefill_jit(
+            self.params, jnp.asarray(vx, self.model.dtype),
+            jnp.asarray(ids), jnp.asarray(mask),
+        )
+        if self._state["media"] is None and media is not None:
+            # batched prefill outputs are already B-row: containers are
+            # zero copies of them (scales fill 1)
+            self._state["media"] = tuple(
+                LayerKV(
+                    k=jnp.zeros_like(l.k), v=jnp.zeros_like(l.v),
+                    k_s=None if l.k_s is None else jnp.ones_like(l.k_s),
+                    v_s=None if l.v_s is None else jnp.ones_like(l.v_s),
+                )
+                for l in media
+            )
+        if self._state["latents"] is None:
+            self._state["latents"] = jnp.zeros_like(latents)
+            self._state["logits"] = jnp.zeros(
+                (self.b, logits.shape[-1]), logits.dtype
+            )
+        n_media = count_media(
+            jnp.asarray(ids), self.model.cfg.media_token_id
+        )
+        self._state = self._admit_batch_jit(
+            self._state, jnp.asarray(admit_mask), layers, media,
+            latents, pad, logits, n_media,
+        )
+        for row, req in admits:
+            self._rows[row] = _RowState(req.rid, [], req.max_new_tokens)
+
     def _retire(self, row: int):
         rs = self._rows[row]
         self._results[rs.rid] = np.asarray(
@@ -440,6 +581,7 @@ class ServingEngine:
             self._state = self._fresh_state()
             self._idx = self.p_max
         if not self._draining:
+            admits = []
             for row in range(self.b):
                 if self._rows[row] is None and self._queue:
                     # admission-time horizon check: every live row must
@@ -449,7 +591,11 @@ class ServingEngine:
                     if not self._fits(self._queue[0].max_new_tokens):
                         self._draining = True
                         break
-                    self._admit_one(row, self._queue.popleft())
+                    admits.append((row, self._queue.popleft()))
+            if len(admits) == 1:
+                self._admit_one(*admits[0])
+            elif admits:
+                self._admit_many(admits)
         if all(r is None for r in self._rows):
             if self._queue:
                 self._draining = True   # nothing live: reset next step

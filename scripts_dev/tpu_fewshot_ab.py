@@ -111,4 +111,21 @@ out["scan_int8_kv_latents"] = measure(
     scan, p_scan, int8_kv=True, precomputed_latents=True,
     label="scan_int8_kv_latents",
 )
+del p_scan
+# round-4 full stack: int4 decode + W8A8 prefill + int8 KV + latents
+from open_flamingo_tpu.ops import w8a8
+from open_flamingo_tpu.quantize import quantize_prefill_params
+
+p_i4 = jax.jit(
+    lambda v: quantize_prefill_params(v, bits=4)
+)(zeros_params(scan))
+w8a8.ENABLED = True
+out["scan_int4_w8a8_kv"] = measure(
+    scan, p_i4, int8_kv=True, label="scan_int4_w8a8_kv"
+)
+out["scan_int4_w8a8_kv_latents"] = measure(
+    scan, p_i4, int8_kv=True, precomputed_latents=True,
+    label="scan_int4_w8a8_kv_latents",
+)
+w8a8.ENABLED = False
 print(json.dumps(out))

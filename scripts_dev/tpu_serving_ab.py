@@ -75,11 +75,16 @@ gen = GenerationConfig(
 )
 
 # --- engine ------------------------------------------------------------------
+# ONE engine reused across passes: a fresh ServingEngine means fresh
+# jax.jit wrappers, so a rebuilt engine re-TRACES every graph and the
+# timing measures tracing, not serving
+eng = ServingEngine(
+    model, params, batch_size=B, max_seq_len=S_MAX,
+    max_prompt_len=P_MAX, chunk_tokens=CHUNK, gen=gen,
+)
+
+
 def run_engine():
-    eng = ServingEngine(
-        model, params, batch_size=B, max_seq_len=S_MAX,
-        max_prompt_len=P_MAX, chunk_tokens=CHUNK, gen=gen,
-    )
     for vx, ids, max_new in reqs:
         eng.submit(vx, ids, max_new_tokens=max_new)
     t0 = time.perf_counter()
@@ -95,6 +100,22 @@ print(f"engine warm pass {dt_warm:.1f}s", flush=True)
 dt_eng, epochs = run_engine()
 
 # --- static batching ---------------------------------------------------------
+_static_jit = {}
+
+
+def _static_fn(max_new):
+    """One persistent jitted generate per max_new bucket — a fresh
+    jax.jit per batch would re-trace every call and sandbag static."""
+    if max_new not in _static_jit:
+        g = dataclasses.replace(gen, max_new_tokens=max_new)
+        _static_jit[max_new] = jax.jit(
+            lambda p, v, i2, m2, _g=g: flamingo_generate(
+                model, p, v, i2, m2, _g
+            )
+        )
+    return _static_jit[max_new]
+
+
 def run_static():
     t0 = time.perf_counter()
     for s in range(0, N_REQ, B):
@@ -106,12 +127,7 @@ def run_static():
             mask[i, P_MAX - len(r_ids):] = 1
         vx = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
         max_new = -(-max(r[2] for r in batch) // 8) * 8
-        g = dataclasses.replace(gen, max_new_tokens=max_new)
-        jitted = jax.jit(
-            lambda p, v, i2, m2, _g=g: flamingo_generate(
-                model, p, v, i2, m2, _g
-            )
-        )
+        jitted = _static_fn(max_new)
         np.asarray(jitted(params, vx, jnp.asarray(ids), jnp.asarray(mask)))
     return time.perf_counter() - t0
 
