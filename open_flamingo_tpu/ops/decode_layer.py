@@ -40,6 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
 
+# attn_block_decode grid = heads/HEAD_BLOCK groups; env-overridable for
+# on-TPU A/B sweeps (scripts_dev/tpu_knob_ab.py), read once at import.
+import os as _os
+
+HEAD_BLOCK = int(_os.environ.get("OFT_HEAD_BLOCK", "8"))
+
 
 def _pick_block_s(s_max: int, block_s: int) -> int:
     """Slot-flush block size: a sublane-aligned divisor of S, else the
@@ -615,7 +621,7 @@ def attn_block_decode(
     k_scale: Optional[jax.Array] = None,  # (B, H, S) int8-cache scales
     v_scale: Optional[jax.Array] = None,
     eps: float = 1e-5,
-    head_block: int = 8,
+    head_block: Optional[int] = None,
     block_s: int = 16,
     interpret: Optional[bool] = None,
 ):
@@ -639,7 +645,7 @@ def attn_block_decode(
     s_max = k_cache.shape[2 + cache_stacked]
     stacked = layer_idx is not None
     int8kv = k_scale is not None
-    g = head_block
+    g = HEAD_BLOCK if head_block is None else head_block
     while h % g:
         g //= 2
     n_groups = h // g

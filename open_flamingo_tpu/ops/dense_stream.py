@@ -47,6 +47,15 @@ FORCE_FUSED = False
 DISABLE_FUSED = False
 INTERPRET = False
 
+# Grid block-size defaults (overridable for on-TPU A/B sweeps via env,
+# read once at import — scripts_dev/tpu_knob_ab.py). Block size trades
+# per-block DMA-issue overhead against pipeline-fill exposure and VMEM;
+# values below are the measured-best production defaults.
+import os as _os
+
+BLOCK_N = int(_os.environ.get("OFT_BLOCK_N", "1024"))
+BLOCK_K2 = int(_os.environ.get("OFT_BLOCK_K2", "2048"))
+
 # Model-axis tensor parallelism gate. The fused decode pallas_calls have
 # no GSPMD partitioning rules: handing them model-axis-sharded weights
 # makes XLA replicate (a full per-step weight all-gather) or fail to
@@ -238,7 +247,7 @@ def fused_dense(
     gate: Optional[jax.Array] = None,         # scalar/(1,): *tanh(gate)
     w_transposed: bool = False,                # w is (N, K); y = x @ w.T
     layer_idx=None,            # scalar int32: stacked-weight layer select
-    block_n: int = 1024,
+    block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """epilogue(LN?(x) @ W): one launch, weights streamed at line rate.
@@ -264,7 +273,7 @@ def fused_dense(
     else:
         k2, n = wl
     assert k == k2, (x.shape, w.shape)
-    block_n = min(block_n, n)
+    block_n = min(BLOCK_N if block_n is None else block_n, n)
     # ragged N (e.g. a vocab that isn't lane-aligned) is fine: the last
     # block's out-of-bounds columns read garbage weights whose products
     # stay in that block's discarded output region (masked stores)
@@ -502,7 +511,7 @@ def fused_mlp(
     residual: Optional[jax.Array] = None,      # (B, N)
     gate: Optional[jax.Array] = None,
     layer_idx=None,            # scalar int32: stacked-weight layer select
-    block_k2: int = 2048,
+    block_k2: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """residual + tanh(gate) * (act(LN?(x) @ W1 + b1) @ W2 + b2).
@@ -522,7 +531,7 @@ def fused_mlp(
     k2b, n = w2.shape[1:] if stacked else w2.shape
     interpret = INTERPRET if interpret is None else interpret
     assert k1 == k and k2b == k2, (x.shape, w1.shape, w2.shape)
-    block_k2 = min(block_k2, k2)
+    block_k2 = min(BLOCK_K2 if block_k2 is None else block_k2, k2)
     # ragged K2 (k2 % block_k2 != 0) is handled by in-kernel lane
     # masking of the last block — see _mlp_kernel
 
