@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--max_seq_len", type=int, default=512)
     p.add_argument("--max_prompt_len", type=int, default=64)
     p.add_argument("--chunk_tokens", type=int, default=8)
+    p.add_argument("--pipeline_depth", type=int, default=1,
+                   help="decoded chunks kept in flight before harvesting "
+                        "tokens (overlaps the host round-trip with the "
+                        "next chunk; 0 = fully serial)")
     p.add_argument("--t_img", type=int, default=1,
                    help="media slots per request (fixed per engine)")
     p.add_argument("--default_max_new_tokens", type=int, default=32)
@@ -101,6 +105,7 @@ def main(argv=None):
         max_prompt_len=args.max_prompt_len,
         t_img=args.t_img,
         chunk_tokens=args.chunk_tokens,
+        pipeline_depth=args.pipeline_depth,
         gen=GenerationConfig(
             max_new_tokens=0, pad_token_id=tokenizer.pad_token_id or 0,
             eos_token_id=model.cfg.eoc_token_id, int8_kv=args.int8_kv,

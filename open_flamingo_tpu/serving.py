@@ -67,6 +67,8 @@ class _RowState:
     emitted: List[int]
     max_new: int
     done: bool = False
+    horizon: int = 0      # slot index by which this tenant must retire
+    retired: bool = False
 
 
 def _row_update(x, row, val):
@@ -96,6 +98,7 @@ class ServingEngine:
         t_img: int = 1,
         chunk_tokens: int = 8,
         gen: Optional[GenerationConfig] = None,
+        pipeline_depth: int = 0,
     ):
         assert max_prompt_len % 16 == 0 and max_seq_len % 16 == 0
         assert max_prompt_len + chunk_tokens <= max_seq_len
@@ -106,6 +109,17 @@ class ServingEngine:
         self.p_max = max_prompt_len
         self.t_img = t_img
         self.chunk = chunk_tokens
+        # pipeline_depth > 0: keep up to that many decoded chunks
+        # in flight before harvesting tokens on the host — the oldest
+        # chunk's device->host read then overlaps the next chunk's
+        # execution (and, over a remote tunnel, its dispatch latency).
+        # Semantics per request are unchanged (tokens are routed by the
+        # dispatch-time tenancy snapshot); the cost is that retires and
+        # admissions are observed up to `depth` chunks late, so rows
+        # re-fill slightly slower under churn. 0 = harvest every chunk
+        # (fully serial, the round-3 behaviour).
+        self.depth = int(pipeline_depth)
+        self._pending: deque = deque()   # (toks_device, [row tenancy])
         self.gen = gen or GenerationConfig(max_new_tokens=0)
         assert not self.gen.do_sample and self.gen.num_beams == 1, (
             "serving engine is greedy-only"
@@ -507,7 +521,10 @@ class ServingEngine:
             self._state, jnp.asarray(row, jnp.int32), layers, media,
             latents, pad_row, logits, n_media,
         )
-        self._rows[row] = _RowState(req.rid, [], req.max_new_tokens)
+        self._rows[row] = _RowState(
+            req.rid, [], req.max_new_tokens,
+            horizon=self._horizon(req.max_new_tokens),
+        )
 
     def _admit_many(self, admits):
         """Admit several requests in ONE B-row prefill + ONE merge call.
@@ -552,14 +569,47 @@ class ServingEngine:
             latents, pad, logits, n_media,
         )
         for row, req in admits:
-            self._rows[row] = _RowState(req.rid, [], req.max_new_tokens)
+            self._rows[row] = _RowState(
+                req.rid, [], req.max_new_tokens,
+                horizon=self._horizon(req.max_new_tokens),
+            )
 
-    def _retire(self, row: int):
-        rs = self._rows[row]
-        self._results[rs.rid] = np.asarray(
-            rs.emitted[: rs.max_new], np.int32
-        )
-        self._rows[row] = None
+    def _harvest_one(self):
+        """Read the OLDEST in-flight chunk's tokens and do its host
+        bookkeeping. Tokens are routed by the tenancy snapshot taken at
+        dispatch time: if a row was re-tenanted since (retire + admit
+        observed between dispatch and harvest is impossible, but the
+        same _RowState object may have retired), pads emitted for a
+        finished tenant can never leak into the next tenant's stream."""
+        toks_dev, snap = self._pending.popleft()
+        toks = np.asarray(toks_dev)
+        eos = self.gen.eos_token_id
+        for row in range(self.b):
+            rs = snap[row]
+            if rs is None:
+                continue
+            for t in toks[row]:
+                if len(rs.emitted) < rs.max_new and not rs.done:
+                    rs.emitted.append(int(t))
+                    if eos is not None and int(t) == eos:
+                        rs.done = True
+            if not rs.retired and (
+                rs.done or len(rs.emitted) >= rs.max_new
+            ):
+                rs.retired = True
+                self._results[rs.rid] = np.asarray(
+                    rs.emitted[: rs.max_new], np.int32
+                )
+                if self._rows[row] is rs:
+                    self._rows[row] = None
+
+    def _flush(self):
+        while self._pending:
+            self._harvest_one()
+
+    def _horizon(self, max_new: int) -> int:
+        """Slot index by which a tenant admitted NOW must have retired."""
+        return self._idx + (-(-max_new // self.chunk)) * self.chunk
 
     def _fits(self, max_new: int) -> bool:
         """A request admitted at the current slot index is live for at
@@ -569,9 +619,12 @@ class ServingEngine:
         return self._idx + chunks * self.chunk <= self.s_max
 
     def step(self) -> bool:
-        """Admit, decode one chunk, retire. Returns True while there is
-        (or will be) work in flight."""
-        # epoch reset once drained
+        """Admit, decode one chunk, harvest/retire. Returns True while
+        there is (or will be) work in flight."""
+        # epoch reset once drained (needs the pipeline empty so every
+        # retire has been observed)
+        if self._draining:
+            self._flush()
         if self._draining and all(r is None for r in self._rows):
             self._state = self._fresh_state()
             self._idx = self.p_max
@@ -596,30 +649,33 @@ class ServingEngine:
                 self._admit_one(*admits[0])
             elif admits:
                 self._admit_many(admits)
-        if all(r is None for r in self._rows):
+        if all(r is None for r in self._rows) and not self._pending:
             if self._queue:
                 self._draining = True   # nothing live: reset next step
                 return True
             return False
+        # harvest-lag guard: only dispatch while some tenant can still
+        # need tokens (self._idx < its horizon). Without this, retires
+        # observed `depth` chunks late would keep dispatching pad-only
+        # chunks and push the slot index past max_seq_len.
+        if not any(
+            rs is not None and self._idx < rs.horizon for rs in self._rows
+        ):
+            self._flush()
+            return bool(self._queue) or any(
+                r is not None for r in self._rows
+            )
         assert self._idx + self.chunk <= self.s_max, (
             "engine invariant: live rows always fit (admission horizon)"
         )
         self._state, toks = self._chunk_jit(self._state, self.params)
-        toks = np.asarray(toks)
+        self._pending.append((toks, list(self._rows)))
         self._idx += self.chunk
-        eos = self.gen.eos_token_id
-        for row in range(self.b):
-            rs = self._rows[row]
-            if rs is None:
-                continue
-            for t in toks[row]:
-                if len(rs.emitted) < rs.max_new and not rs.done:
-                    rs.emitted.append(int(t))
-                    if eos is not None and int(t) == eos:
-                        rs.done = True
-            if rs.done or len(rs.emitted) >= rs.max_new:
-                self._retire(row)
-        return bool(self._queue) or any(r is not None for r in self._rows)
+        while len(self._pending) > self.depth:
+            self._harvest_one()
+        return bool(self._queue) or any(
+            r is not None for r in self._rows
+        ) or bool(self._pending)
 
     def run(self) -> Dict[int, np.ndarray]:
         """Serve until the queue drains; returns {rid: generated ids}."""

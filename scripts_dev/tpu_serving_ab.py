@@ -99,6 +99,17 @@ dt_warm, _ = run_engine()
 print(f"engine warm pass {dt_warm:.1f}s", flush=True)
 dt_eng, epochs = run_engine()
 
+# pipelined chunk dispatch (round 4): same engine, same graphs — only
+# the host harvest schedule changes, so mutating eng.depth is safe
+depth_results = {}
+for depth in (1, 2, 4):
+    eng.depth = depth
+    dt_d, _ = run_engine()
+    depth_results[depth] = round(useful / dt_d, 1)
+    print(f"pipeline_depth={depth}: {depth_results[depth]} useful tok/s "
+          f"({dt_d:.2f}s)", flush=True)
+eng.depth = 0
+
 # --- static batching ---------------------------------------------------------
 _static_jit = {}
 
@@ -142,6 +153,9 @@ out = {
         "wall_s": round(dt_eng, 2),
         "useful_tok_s": round(useful / dt_eng, 1),
         "epochs": epochs,
+    },
+    "engine_pipelined": {
+        f"depth_{d}": v for d, v in depth_results.items()
     },
     "static": {
         "wall_s": round(dt_static, 2),

@@ -168,6 +168,70 @@ def test_serving_epoch_reset(rng):
         _check(res[rid], w, eos=-1)
 
 
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_serving_pipelined_dispatch_exact(rng, depth):
+    """pipeline_depth > 0 keeps chunks in flight before harvesting on
+    the host; emitted tokens must still be exactly flamingo_generate's
+    per request across EOS retires, row re-tenancy, and epoch resets —
+    the dispatch-time tenancy snapshot is what keeps a finished
+    tenant's pad chunks out of the next tenant's stream."""
+    model, reqs = _reqs(rng, 8)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(reqs[0][0][None], jnp.float32),
+        jnp.asarray(reqs[0][1][None]),
+        jnp.ones((1, len(reqs[0][1])), jnp.int32),
+    )
+    probe = _reference(model, params, reqs, max_new=9)
+    eos = int(probe[0][2])          # mid-stream token -> real EOS fires
+    want = _reference(model, params, reqs, max_new=9, eos=eos)
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=48, max_prompt_len=16,
+        chunk_tokens=4, pipeline_depth=depth,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=eos),
+    )
+    rids = [eng.submit(vx, ids, max_new_tokens=9) for vx, ids in reqs]
+    res = eng.run()
+    assert len(res) == 8
+    for rid, w in zip(rids, want):
+        _check(res[rid], w, eos=eos)
+
+
+def test_serving_pipelined_staggered(rng):
+    """Pipelined dispatch with requests arriving mid-flight: admissions
+    observed late must still produce exact tokens in admission order."""
+    model, reqs = _reqs(rng, 6)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(reqs[0][0][None], jnp.float32),
+        jnp.asarray(reqs[0][1][None]),
+        jnp.ones((1, len(reqs[0][1])), jnp.int32),
+    )
+    want = _reference(model, params, reqs, max_new=6)
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=96, max_prompt_len=16,
+        chunk_tokens=3, pipeline_depth=2,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=-1),
+    )
+    rids = []
+    it = iter(reqs)
+    for vx, ids in [next(it), next(it)]:
+        rids.append(eng.submit(vx, ids, max_new_tokens=6))
+    alive = True
+    while alive:
+        alive = eng.step()
+        nxt = next(it, None)
+        if nxt is not None:
+            rids.append(eng.submit(nxt[0], nxt[1], max_new_tokens=6))
+            alive = True
+    res = eng._results
+    assert len(res) == 6
+    for rid, w in zip(rids, want):
+        _check(res[rid], w, eos=-1)
+
+
 def test_serving_scan_layout(rng):
     """Scan (group-stacked) cache layout end-to-end."""
     from open_flamingo_tpu.models.flamingo import Flamingo
