@@ -385,6 +385,8 @@ def _mlp_kernel(
     eps, act, norm, has_ln, has_ln_bias, has_w1b, has_b1, has_b2,
     has_residual, has_gate, has_w1s, has_w2s, has_w1bs, k2_total,
     block_k2, stacked_w=False,
+    has_side=False, has_side_ln=False, has_side_ln_bias=False,
+    side_act=None, has_side_res=False,
 ):
     if stacked_w:
         _layer_ref, x_ref, w1_ref, w2_ref, *rest = args
@@ -411,9 +413,45 @@ def _mlp_kernel(
     i += has_residual
     gate_ref = rest[i] if has_gate else None
     i += has_gate
-    o_ref, acc_ref = rest[i], rest[i + 1]
+    sx_ref = rest[i] if has_side else None
+    i += has_side
+    sw_ref = rest[i] if has_side else None
+    i += has_side
+    sls_ref = rest[i] if has_side_ln else None
+    i += has_side_ln
+    slb_ref = rest[i] if has_side_ln_bias else None
+    i += has_side_ln_bias
+    sres_ref = rest[i] if has_side_res else None
+    i += has_side_res
+    if has_side:
+        o_ref, so_ref, acc_ref = rest[i], rest[i + 1], rest[i + 2]
+    else:
+        o_ref, acc_ref = rest[i], rest[i + 1]
 
     ki = pl.program_id(0)
+
+    if has_side:
+        # Side-stream tile: an UNRELATED matmul block rides this grid
+        # step's otherwise-idle MXU while the main weight blocks DMA
+        # (Mosaic pipelines block fetches against compute). Free as long
+        # as the side FLOPs stay under the per-step DMA window; the side
+        # activation/out traffic is added DMA and pays at line rate
+        # (scripts_dev/tpu_overlap_probe2.py). Used to hide the next
+        # batch's ViT forward inside the decode loop.
+        sx = sx_ref[...]
+        if has_side_ln:
+            sh = _norm_f32(sx, sls_ref, slb_ref, 1e-5, "layer")
+        else:
+            sh = sx.astype(jnp.float32)
+        sh = _act_f32(sh, side_act)
+        so = jax.lax.dot_general(
+            sh.astype(sx.dtype), sw_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if has_side_res:
+            so = so + sres_ref[...].astype(jnp.float32)
+        so_ref[...] = so.astype(so_ref.dtype)
 
     @pl.when(ki == 0)
     def _init():
@@ -512,8 +550,13 @@ def fused_mlp(
     gate: Optional[jax.Array] = None,
     layer_idx=None,            # scalar int32: stacked-weight layer select
     block_k2: Optional[int] = None,
+    side_x: Optional[jax.Array] = None,        # (SM, SK) streamed tile in
+    side_w: Optional[jax.Array] = None,        # (SK, SN) resident weight
+    side_ln: Optional[tuple] = None,           # (scale(SK,), bias|None)
+    side_act: Optional[str] = None,            # pre-act on side_x rows
+    side_residual: Optional[jax.Array] = None,  # (SM, SN) streamed
     interpret: Optional[bool] = None,
-) -> jax.Array:
+):
     """residual + tanh(gate) * (act(LN?(x) @ W1 + b1) @ W2 + b2).
 
     With w1_gate (SwiGLU): u = act(h @ W1 + b1) * (h @ w1_gate).
@@ -524,6 +567,14 @@ def fused_mlp(
     layer_idx: stacked-weight scan decode — per-layer operands carry a
     leading L axis, selected in the block index maps via scalar
     prefetch (see fused_dense).
+
+    side_x/side_w: optional SIDE-STREAM tile — an unrelated matmul
+    side_out = act(LN?(side_x)) @ side_w (+ side_residual) computed on
+    the launch's idle MXU while the main weights DMA, M-partitioned
+    across the grid (side_x rows must divide by the grid size). The
+    return becomes (y, side_out). This is the absorption primitive for
+    hiding the next batch's ViT forward inside the DMA-bound decode
+    loop (overlap law: scripts_dev/tpu_overlap_probe2.py, BASELINE.md).
     """
     b, k = x.shape
     stacked = layer_idx is not None
@@ -607,6 +658,42 @@ def fused_mlp(
         )
         in_specs.append(pl.BlockSpec(sshape((1, 1)), smap(lambda i: (0, 0))))
 
+    grid_n = pl.cdiv(k2, block_k2)
+    has_side = side_x is not None
+    if has_side:
+        assert side_w is not None
+        sm, sk = side_x.shape
+        skb, sn = side_w.shape
+        assert sk == skb, (side_x.shape, side_w.shape)
+        assert sm % grid_n == 0, (
+            f"side_x rows {sm} must divide the K2 grid {grid_n}"
+        )
+        smb = sm // grid_n
+        # side operands never carry the stacked layer axis: the caller
+        # slices per-layer side weights outside (one small XLA slice per
+        # launch group, vs reworking the scalar-prefetch maps for an
+        # independent second index)
+        operands.extend([side_x, side_w])
+        in_specs.extend([
+            pl.BlockSpec((smb, sk), umap(lambda i: (i, 0))),
+            pl.BlockSpec((sk, sn), umap(lambda i: (0, 0))),
+        ])
+        if side_ln is not None:
+            operands.append(jnp.asarray(side_ln[0]).reshape(1, sk))
+            in_specs.append(
+                pl.BlockSpec((1, sk), umap(lambda i: (0, 0)))
+            )
+            if side_ln[1] is not None:
+                operands.append(jnp.asarray(side_ln[1]).reshape(1, sk))
+                in_specs.append(
+                    pl.BlockSpec((1, sk), umap(lambda i: (0, 0)))
+                )
+        if side_residual is not None:
+            operands.append(side_residual)
+            in_specs.append(
+                pl.BlockSpec((smb, sn), umap(lambda i: (i, 0)))
+            )
+
     kernel = functools.partial(
         _mlp_kernel,
         eps=eps, act=act, norm=norm,
@@ -622,15 +709,27 @@ def fused_mlp(
         has_w1bs=w1_gate_scale is not None,
         k2_total=k2, block_k2=block_k2,
         stacked_w=stacked,
+        has_side=has_side,
+        has_side_ln=has_side and side_ln is not None,
+        has_side_ln_bias=(
+            has_side and side_ln is not None and side_ln[1] is not None
+        ),
+        side_act=side_act,
+        has_side_res=has_side and side_residual is not None,
     )
     from jax.experimental.pallas import tpu as pltpu
 
     out_spec = pl.BlockSpec((b, n), umap(lambda i: (0, 0)))
+    if has_side:
+        out_spec = [
+            out_spec,
+            pl.BlockSpec((smb, sn), umap(lambda i: (i, 0))),
+        ]
     scratch = [pltpu.VMEM((b, n), jnp.float32)]
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(pl.cdiv(k2, block_k2),),
+            grid=(grid_n,),
             in_specs=in_specs,
             out_specs=out_spec,
             scratch_shapes=scratch,
@@ -639,16 +738,21 @@ def fused_mlp(
         pre = (jnp.asarray(layer_idx, jnp.int32).reshape(1),)
     else:
         call_kw = dict(
-            grid=(pl.cdiv(k2, block_k2),),
+            grid=(grid_n,),
             in_specs=in_specs,
             out_specs=out_spec,
             scratch_shapes=scratch,
         )
         pre = ()
 
+    out_shape = jax.ShapeDtypeStruct((b, n), x.dtype)
+    if has_side:
+        out_shape = [
+            out_shape, jax.ShapeDtypeStruct((sm, sn), side_x.dtype)
+        ]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
         **call_kw,

@@ -29,6 +29,18 @@ CONFIGS = [
     ("k2_4096_hb16", {"OFT_BLOCK_K2": "4096", "OFT_HEAD_BLOCK": "16"}),
 ]
 
+# round-4 follow-up (sweep 1 found smaller blocks WIN — fill exposure,
+# not per-block overhead, is the dominant term): combine the two
+# winners and push block sizes further down
+CONFIGS2 = [
+    ("k2_1024_hb4", {"OFT_BLOCK_K2": "1024", "OFT_HEAD_BLOCK": "4"}),
+    ("k2_512", {"OFT_BLOCK_K2": "512"}),
+    ("k2_512_hb4", {"OFT_BLOCK_K2": "512", "OFT_HEAD_BLOCK": "4"}),
+    ("k2_1024_hb4_bn512",
+     {"OFT_BLOCK_K2": "1024", "OFT_HEAD_BLOCK": "4",
+      "OFT_BLOCK_N": "512"}),
+]
+
 
 def child(mode: str):
     import time
@@ -92,8 +104,9 @@ def child(mode: str):
 
 
 def main():
+    configs = CONFIGS2 if "--followup" in sys.argv else CONFIGS
     results = {}
-    for label, env in CONFIGS:
+    for label, env in configs:
         for mode in ("bf16", "int4"):
             e = dict(os.environ, **env)
             r = subprocess.run(

@@ -90,6 +90,74 @@ def test_fused_mlp_biases_gate(data):
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+def test_fused_mlp_side_stream(data):
+    """Side-stream tile: an unrelated matmul rides the MLP launch —
+    main output unchanged, side output = act(LN(side_x)) @ side_w
+    (+ side_residual), M-partitioned over the K2 grid."""
+    x = data(B, K)
+    w1, w2 = data(K, K2, scale=0.05), data(K2, N, scale=0.05)
+    ln_s = data(K, scale=1.0)
+    res = data(B, N)
+    sm, sk, sn = 32, 128, 192      # K2/block 512/128 = 4 grid steps
+    sx, sw = data(sm, sk), data(sk, sn, scale=0.05)
+    sls, slb = data(sk, scale=1.0), data(sk, scale=0.1)
+    sres = data(sm, sn)
+    want_main = reference_mlp(
+        x, w1, w2, ln_scale=ln_s, act="gelu", residual=res
+    )
+    for side_ln, side_act, side_res in [
+        (None, None, None),
+        ((sls, slb), None, None),
+        ((sls, None), "gelu", sres),
+    ]:
+        got_main, got_side = fused_mlp(
+            x, w1, w2, ln_scale=ln_s, act="gelu", residual=res,
+            block_k2=128, interpret=True,
+            side_x=sx, side_w=sw, side_ln=side_ln, side_act=side_act,
+            side_residual=side_res,
+        )
+        np.testing.assert_allclose(got_main, want_main, atol=3e-5)
+        sh = np.asarray(sx, np.float64)
+        if side_ln is not None:
+            mu = sh.mean(-1, keepdims=True)
+            var = sh.var(-1, keepdims=True)
+            sh = (sh - mu) / np.sqrt(var + 1e-5) * np.asarray(sls)
+            if side_ln[1] is not None:
+                sh = sh + np.asarray(slb)
+        if side_act == "gelu":
+            from scipy.special import erf
+
+            sh = 0.5 * sh * (1.0 + erf(sh / np.sqrt(2.0)))
+        want_side = sh @ np.asarray(sw, np.float64)
+        if side_res is not None:
+            want_side = want_side + np.asarray(sres, np.float64)
+        np.testing.assert_allclose(got_side, want_side, atol=3e-4)
+
+
+def test_fused_mlp_side_stream_stacked(data):
+    """Side stream composes with the stacked-weight (scan decode)
+    layout: main weights carry the layer axis, side operands do not."""
+    L = 3
+    x = data(B, K)
+    w1 = data(L, K, K2, scale=0.05)
+    w2 = data(L, K2, N, scale=0.05)
+    ln_s = data(L, K, scale=1.0)
+    sm, sk, sn = 16, 128, 64
+    sx, sw = data(sm, sk), data(sk, sn, scale=0.05)
+    for li in range(L):
+        got_main, got_side = fused_mlp(
+            x, w1, w2, ln_scale=ln_s, act="gelu",
+            layer_idx=li, block_k2=128, interpret=True,
+            side_x=sx, side_w=sw,
+        )
+        want_main = reference_mlp(
+            x, w1[li], w2[li], ln_scale=ln_s[li], act="gelu"
+        )
+        want_side = np.asarray(sx, np.float64) @ np.asarray(sw, np.float64)
+        np.testing.assert_allclose(got_main, want_main, atol=3e-5)
+        np.testing.assert_allclose(got_side, want_side, atol=3e-4)
+
+
 def test_mpt_block_fused_decode_matches_standard(rng):
     """One decode step through MPTBlock: the fused-kernel path (forced,
     interpret mode) must match the standard einsum path."""
