@@ -168,6 +168,9 @@ def _act_f32(h, act: Optional[str]):
         return 0.5 * h * (1.0 + _erf_f32(h * (2.0 ** -0.5)))
     if act == "gelu_new":
         return jax.nn.gelu(h, approximate=True)
+    if act == "quick_gelu":
+        # OpenAI CLIP: x * sigmoid(1.702 x)
+        return h * jax.nn.sigmoid(1.702 * h)
     if act == "silu":
         return jax.nn.silu(h)
     if act == "relu":
@@ -386,7 +389,7 @@ def _mlp_kernel(
     has_residual, has_gate, has_w1s, has_w2s, has_w1bs, k2_total,
     block_k2, stacked_w=False,
     has_side=False, has_side_ln=False, has_side_ln_bias=False,
-    side_act=None, has_side_res=False,
+    side_act=None, has_side_b=False, has_side_res=False,
 ):
     if stacked_w:
         _layer_ref, x_ref, w1_ref, w2_ref, *rest = args
@@ -421,6 +424,8 @@ def _mlp_kernel(
     i += has_side_ln
     slb_ref = rest[i] if has_side_ln_bias else None
     i += has_side_ln_bias
+    sb_ref = rest[i] if has_side_b else None
+    i += has_side_b
     sres_ref = rest[i] if has_side_res else None
     i += has_side_res
     if has_side:
@@ -449,6 +454,8 @@ def _mlp_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if has_side_b:
+            so = so + sb_ref[0].astype(jnp.float32)
         if has_side_res:
             so = so + sres_ref[...].astype(jnp.float32)
         so_ref[...] = so.astype(so_ref.dtype)
@@ -554,6 +561,7 @@ def fused_mlp(
     side_w: Optional[jax.Array] = None,        # (SK, SN) resident weight
     side_ln: Optional[tuple] = None,           # (scale(SK,), bias|None)
     side_act: Optional[str] = None,            # pre-act on side_x rows
+    side_b: Optional[jax.Array] = None,        # (SN,) side output bias
     side_residual: Optional[jax.Array] = None,  # (SM, SN) streamed
     interpret: Optional[bool] = None,
 ):
@@ -688,6 +696,11 @@ def fused_mlp(
                 in_specs.append(
                     pl.BlockSpec((1, sk), umap(lambda i: (0, 0)))
                 )
+        if side_b is not None:
+            operands.append(jnp.asarray(side_b).reshape(1, sn))
+            in_specs.append(
+                pl.BlockSpec((1, sn), umap(lambda i: (0, 0)))
+            )
         if side_residual is not None:
             operands.append(side_residual)
             in_specs.append(
@@ -715,6 +728,7 @@ def fused_mlp(
             has_side and side_ln is not None and side_ln[1] is not None
         ),
         side_act=side_act,
+        has_side_b=has_side and side_b is not None,
         has_side_res=has_side and side_residual is not None,
     )
     from jax.experimental.pallas import tpu as pltpu

@@ -105,16 +105,18 @@ def test_fused_mlp_side_stream(data):
     want_main = reference_mlp(
         x, w1, w2, ln_scale=ln_s, act="gelu", residual=res
     )
-    for side_ln, side_act, side_res in [
-        (None, None, None),
-        ((sls, slb), None, None),
-        ((sls, None), "gelu", sres),
+    sb = data(sn, scale=0.1)
+    for side_ln, side_act, side_bias, side_res in [
+        (None, None, None, None),
+        ((sls, slb), None, None, None),
+        ((sls, None), "gelu", sb, sres),
+        (None, "quick_gelu", sb, None),
     ]:
         got_main, got_side = fused_mlp(
             x, w1, w2, ln_scale=ln_s, act="gelu", residual=res,
             block_k2=128, interpret=True,
             side_x=sx, side_w=sw, side_ln=side_ln, side_act=side_act,
-            side_residual=side_res,
+            side_b=side_bias, side_residual=side_res,
         )
         np.testing.assert_allclose(got_main, want_main, atol=3e-5)
         sh = np.asarray(sx, np.float64)
@@ -128,7 +130,11 @@ def test_fused_mlp_side_stream(data):
             from scipy.special import erf
 
             sh = 0.5 * sh * (1.0 + erf(sh / np.sqrt(2.0)))
+        elif side_act == "quick_gelu":
+            sh = sh / (1.0 + np.exp(-1.702 * sh))
         want_side = sh @ np.asarray(sw, np.float64)
+        if side_bias is not None:
+            want_side = want_side + np.asarray(sb, np.float64)
         if side_res is not None:
             want_side = want_side + np.asarray(sres, np.float64)
         np.testing.assert_allclose(got_side, want_side, atol=3e-4)
