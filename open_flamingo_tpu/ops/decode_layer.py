@@ -44,7 +44,7 @@ NEG_INF = -1.0e30
 # on-TPU A/B sweeps (scripts_dev/tpu_knob_ab.py), read once at import.
 import os as _os
 
-HEAD_BLOCK = int(_os.environ.get("OFT_HEAD_BLOCK", "8"))
+HEAD_BLOCK = int(_os.environ.get("OFT_HEAD_BLOCK", "4"))
 
 
 def _pick_block_s(s_max: int, block_s: int) -> int:
