@@ -42,9 +42,13 @@ NEG_INF = -1.0e30
 
 # attn_block_decode grid = heads/HEAD_BLOCK groups; env-overridable for
 # on-TPU A/B sweeps (scripts_dev/tpu_knob_ab.py), read once at import.
+# Round-4 sweep: head groups of 4 beat 8 in the scan engine (+200
+# tok/s int4 B=32 — smaller exposed fill per launch); the legacy
+# unrolled layout keeps 8 (unmeasured there, compile cache stays warm).
 import os as _os
 
 HEAD_BLOCK = int(_os.environ.get("OFT_HEAD_BLOCK", "4"))
+HEAD_BLOCK_UNROLLED = int(_os.environ.get("OFT_HEAD_BLOCK", "8"))
 
 
 def _pick_block_s(s_max: int, block_s: int) -> int:
@@ -645,7 +649,9 @@ def attn_block_decode(
     s_max = k_cache.shape[2 + cache_stacked]
     stacked = layer_idx is not None
     int8kv = k_scale is not None
-    g = HEAD_BLOCK if head_block is None else head_block
+    if head_block is None:
+        head_block = HEAD_BLOCK if stacked else HEAD_BLOCK_UNROLLED
+    g = head_block
     while h % g:
         g //= 2
     n_groups = h // g

@@ -51,20 +51,23 @@ INTERPRET = False
 # read once at import — scripts_dev/tpu_knob_ab.py). Block size trades
 # per-block DMA-issue overhead against pipeline-fill exposure and VMEM.
 # Round-4 sweep (BASELINE.md "decode grid-knob A/B"): SMALLER blocks
-# win — the per-launch cost is dominated by the first block's exposed
-# DMA (fill), not per-block issue overhead — and the best K2 block is
-# dtype-dependent (a bf16 block is 2x the bytes of an int8 one, so
-# bf16 wants half the block): bf16 K2 512 / int 1024, head block 4,
-# N block 512. B=32 generate: bf16 2,628 -> 2,800 tok/s, int4
-# 4,385 -> 4,635.
+# win in the scan engine — the per-launch cost is dominated by the
+# first block's exposed DMA (fill), not per-block issue overhead — and
+# the best K2 block is dtype-dependent (a bf16 block is 2x the bytes
+# of an int8 one, so bf16 wants half the block). New defaults apply to
+# the STACKED (scan) path where they were measured; the legacy
+# unrolled layout keeps the round-3 blocks (unmeasured there, and its
+# ~25-min compiles stay cache-warm). B=32 scan generate: bf16
+# 2,628 -> 2,844 tok/s, int4+W8A8 4,385 -> 4,635.
 import os as _os
 
-BLOCK_N = int(_os.environ.get("OFT_BLOCK_N", "512"))
+BLOCK_N = int(_os.environ.get("OFT_BLOCK_N", "1024"))
 BLOCK_K2 = int(_os.environ.get("OFT_BLOCK_K2", "1024"))
 BLOCK_K2_BF16 = int(
     _os.environ.get("OFT_BLOCK_K2_BF16",
                     _os.environ.get("OFT_BLOCK_K2", "512"))
 )
+BLOCK_K2_UNROLLED = int(_os.environ.get("OFT_BLOCK_K2", "2048"))
 
 # Model-axis tensor parallelism gate. The fused decode pallas_calls have
 # no GSPMD partitioning rules: handing them model-axis-sharded weights
@@ -601,11 +604,15 @@ def fused_mlp(
     interpret = INTERPRET if interpret is None else interpret
     assert k1 == k and k2b == k2, (x.shape, w1.shape, w2.shape)
     if block_k2 is None:
-        # dtype-aware default: bf16 weight blocks carry 2x the bytes of
-        # int8, so the fill-exposure-optimal block is half the size
-        block_k2 = (
-            BLOCK_K2 if w1.dtype in (jnp.int8, jnp.int4) else BLOCK_K2_BF16
-        )
+        # dtype-aware default (stacked/scan path only): bf16 weight
+        # blocks carry 2x the bytes of int8, so the fill-exposure-
+        # optimal block is half the size. Unrolled keeps round-3 blocks.
+        if not stacked:
+            block_k2 = BLOCK_K2_UNROLLED
+        elif w1.dtype in (jnp.int8, jnp.int4):
+            block_k2 = BLOCK_K2
+        else:
+            block_k2 = BLOCK_K2_BF16
     block_k2 = min(block_k2, k2)
     # ragged K2 (k2 % block_k2 != 0) is handled by in-kernel lane
     # masking of the last block — see _mlp_kernel
