@@ -8,9 +8,20 @@ test:
 
 # fast tier: everything except the slow-marked real-width parity, e2e
 # CLI, scan-training and sharded-suite tests. ~10 min on an idle
-# many-core box, up to ~25-30 min under load (measured round 3)
+# many-core box, up to ~25-30 min under load (measured round 3).
+# XLA:CPU in this image sometimes SIGSEGVs/SIGILLs loading its AOT
+# helper kernels (compiled for a machine with AMX/AVX10 features this
+# host lacks — the "cpu_aot_loader" warning); the crash is flaky and
+# test-independent, so retry ONCE on those two exit codes only.
 test-fast:
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -m "not slow"; \
+	rc=$$?; \
+	if [ $$rc -eq 139 ] || [ $$rc -eq 132 ]; then \
+	  echo "XLA:CPU AOT-loader crash (rc=$$rc) — retrying once"; \
+	  python -m pytest tests/ -q -m "not slow"; \
+	else \
+	  exit $$rc; \
+	fi
 
 bench:
 	python bench.py

@@ -43,10 +43,11 @@ def build_parser():
     p.add_argument("--max_seq_len", type=int, default=512)
     p.add_argument("--max_prompt_len", type=int, default=64)
     p.add_argument("--chunk_tokens", type=int, default=8)
-    p.add_argument("--pipeline_depth", type=int, default=1,
+    p.add_argument("--pipeline_depth", type=int, default=2,
                    help="decoded chunks kept in flight before harvesting "
-                        "tokens (overlaps the host round-trip with the "
-                        "next chunk; 0 = fully serial)")
+                        "tokens (overlaps the host round-trip with later "
+                        "chunks; 0 = fully serial; measured +17%% useful "
+                        "throughput at 2, +23%% at 4 — BASELINE.md)")
     p.add_argument("--t_img", type=int, default=1,
                    help="media slots per request (fixed per engine)")
     p.add_argument("--default_max_new_tokens", type=int, default=32)
