@@ -48,7 +48,9 @@ NEG_INF = -1.0e30
 import os as _os
 
 HEAD_BLOCK = int(_os.environ.get("OFT_HEAD_BLOCK", "4"))
-HEAD_BLOCK_UNROLLED = int(_os.environ.get("OFT_HEAD_BLOCK", "8"))
+# own env var (not OFT_HEAD_BLOCK): a sweep tuning the scan engine must
+# not silently re-block the unrolled layout and cold its ~25-min compiles
+HEAD_BLOCK_UNROLLED = int(_os.environ.get("OFT_HEAD_BLOCK_UNROLLED", "8"))
 
 
 def _pick_block_s(s_max: int, block_s: int) -> int:

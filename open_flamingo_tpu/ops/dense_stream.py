@@ -67,7 +67,9 @@ BLOCK_K2_BF16 = int(
     _os.environ.get("OFT_BLOCK_K2_BF16",
                     _os.environ.get("OFT_BLOCK_K2", "512"))
 )
-BLOCK_K2_UNROLLED = int(_os.environ.get("OFT_BLOCK_K2", "2048"))
+# own env var (not OFT_BLOCK_K2): a sweep tuning the scan engine must
+# not silently re-block the unrolled layout and cold its ~25-min compiles
+BLOCK_K2_UNROLLED = int(_os.environ.get("OFT_BLOCK_K2_UNROLLED", "2048"))
 
 # Model-axis tensor parallelism gate. The fused decode pallas_calls have
 # no GSPMD partitioning rules: handing them model-axis-sharded weights
@@ -403,6 +405,7 @@ def _mlp_kernel(
     block_k2, stacked_w=False,
     has_side=False, has_side_ln=False, has_side_ln_bias=False,
     side_act=None, has_side_b=False, has_side_res=False,
+    side_eps=1e-5,
 ):
     if stacked_w:
         _layer_ref, x_ref, w1_ref, w2_ref, *rest = args
@@ -458,7 +461,7 @@ def _mlp_kernel(
         # batch's ViT forward inside the decode loop.
         sx = sx_ref[...]
         if has_side_ln:
-            sh = _norm_f32(sx, sls_ref, slb_ref, 1e-5, "layer")
+            sh = _norm_f32(sx, sls_ref, slb_ref, side_eps, "layer")
         else:
             sh = sx.astype(jnp.float32)
         sh = _act_f32(sh, side_act)
@@ -573,6 +576,7 @@ def fused_mlp(
     side_x: Optional[jax.Array] = None,        # (SM, SK) streamed tile in
     side_w: Optional[jax.Array] = None,        # (SK, SN) resident weight
     side_ln: Optional[tuple] = None,           # (scale(SK,), bias|None)
+    side_eps: float = 1e-5,                    # side-LN eps (CLIP: 1e-5)
     side_act: Optional[str] = None,            # pre-act on side_x rows
     side_b: Optional[jax.Array] = None,        # (SN,) side output bias
     side_residual: Optional[jax.Array] = None,  # (SM, SN) streamed
@@ -697,7 +701,8 @@ def fused_mlp(
         skb, sn = side_w.shape
         assert sk == skb, (side_x.shape, side_w.shape)
         assert sm % grid_n == 0, (
-            f"side_x rows {sm} must divide the K2 grid {grid_n}"
+            f"side_x rows {sm} must be a multiple of the K2 grid size "
+            f"{grid_n} (one side row-block rides each grid step)"
         )
         smb = sm // grid_n
         # side operands never carry the stacked layer axis: the caller
@@ -753,6 +758,7 @@ def fused_mlp(
         side_act=side_act,
         has_side_b=has_side and side_b is not None,
         has_side_res=has_side and side_residual is not None,
+        side_eps=side_eps,
     )
     from jax.experimental.pallas import tpu as pltpu
 

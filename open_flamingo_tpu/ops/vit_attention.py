@@ -114,6 +114,104 @@ def _vit_attention_fwd_impl(q, k, v, *, scale, block_bh, interpret):
     return out[:, :s]
 
 
+def _flat_attn_kernel(
+    q_ref,   # (1, S_pad, W) — W = heads_per_block * dh flat columns
+    k_ref,
+    v_ref,
+    o_ref,
+    *,
+    hpb: int,
+    dh: int,
+    s_real: int,
+    scale: float,
+):
+    s_pad = q_ref.shape[1]
+    w = q_ref.shape[2]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    kvalid = kcol < s_real
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    # head-of-column map: the 2x-K masked dot keeps the lane width at
+    # 128 (Mosaic block rule) while heads never mix — zeroing the
+    # complementary head's columns makes (q*m) @ (k*m)^T == q_h @ k_h^T
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (s_pad, w), 1) // dh
+    out = jnp.zeros((s_pad, w), jnp.float32)
+    for sub in range(hpb):
+        m = head_of == sub
+        qh = jnp.where(m, q, 0.0)
+        kh = jnp.where(m, k, 0.0)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                 # (S_pad, S_pad)
+        s = jnp.where(kvalid, s, NEG_INF)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = jnp.where(kvalid, p, 0.0)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        vh = jnp.where(m, v, 0.0)
+        out = out + jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def flat_vit_attention(
+    q: jax.Array,        # (B, S_pad, D) — FLAT head layout, D = H * dh
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    *,
+    heads: int,
+    s_real: int,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Bidirectional attention consuming the flat (B, S_pad, H*dh)
+    layout DIRECTLY — no head transpose, no (B,H,S,dh) copies. This is
+    the absorbed-ViT glue (BASELINE.md round-4 lever (a)): the absorbed
+    side schedule keeps q/k/v as flat (M, D) workspace tiles, and the
+    head split happens in the kernel's column blocking instead of an
+    XLA transpose (~25 ms of copies per 24-layer ViT at B=32).
+
+    Grid (B, H/hpb); each cell loads a (S_pad, hpb*dh) column block
+    (lane width kept at a multiple of 128 by pairing heads when
+    dh < 128) and computes hpb heads' full attention in VMEM with
+    masked dual-head dots. Keys at positions >= s_real are masked; pad
+    QUERY rows produce finite garbage (uniform attention over real
+    keys) and are ignored by the caller's layout.
+
+    Returns (B, S_pad, D) in q.dtype."""
+    b, s_pad, d = q.shape
+    assert d % heads == 0
+    dh = d // heads
+    hpb = max(1, 128 // dh) if d > 128 else heads
+    while heads % hpb:
+        hpb -= 1
+    w = hpb * dh
+    assert w % 128 == 0 or w == d, (
+        f"flat attention needs head column blocks of 128n lanes or the "
+        f"full width: dh={dh}, hpb={hpb} gives {w} (D={d})"
+    )
+    interpret = INTERPRET if interpret is None else interpret
+    return pl.pallas_call(
+        functools.partial(
+            _flat_attn_kernel, hpb=hpb, dh=dh, s_real=s_real, scale=scale
+        ),
+        grid=(b, heads // hpb),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _reference(q, k, v, scale):
     logits = jnp.einsum(
         "bqd,bkd->bqk", q.astype(jnp.float32) * scale,

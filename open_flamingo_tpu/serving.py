@@ -608,22 +608,28 @@ class ServingEngine:
             self._harvest_one()
 
     def _horizon(self, max_new: int) -> int:
-        """Slot index by which a tenant admitted NOW must have retired."""
+        """Slot index by which a tenant admitted NOW must have retired.
+        The slot-overflow safety proof (dispatch assert in step()) rests
+        on _fits using THIS expression — shared helper so the admission
+        check and the dispatch guard cannot drift apart."""
         return self._idx + (-(-max_new // self.chunk)) * self.chunk
 
     def _fits(self, max_new: int) -> bool:
         """A request admitted at the current slot index is live for at
         most ceil(max_new / chunk) chunks; it fits iff that horizon
         stays inside the cache."""
-        chunks = -(-max_new // self.chunk)
-        return self._idx + chunks * self.chunk <= self.s_max
+        return self._horizon(max_new) <= self.s_max
 
     def step(self) -> bool:
         """Admit, decode one chunk, harvest/retire. Returns True while
         there is (or will be) work in flight."""
         # epoch reset once drained (needs the pipeline empty so every
-        # retire has been observed)
-        if self._draining:
+        # retire has been observed). Only force the flush once no row
+        # is visibly live — an unconditional flush here would zero the
+        # pipeline depth for the whole drain tail even while live rows
+        # are still decoding (the harvest-lag guard below already
+        # flushes once no tenant can need more tokens).
+        if self._draining and not any(r is not None for r in self._rows):
             self._flush()
         if self._draining and all(r is None for r in self._rows):
             self._state = self._fresh_state()

@@ -70,6 +70,13 @@ M_REAL = B_IMG * S
 GRID = -(-K2_DEC // BLOCK_K2)
 # pad the token rows so every M block is a multiple of 16 sublanes
 M_PAD = -(-M_REAL // (16 * GRID)) * 16 * GRID
+# FLAT layout (round-5 lever (a)): pad each image's sequence to a
+# sublane multiple so the workspace is exactly (B * S_PADF, D) — the
+# attention boundary becomes a free reshape (no global-pad slicing, no
+# head transposes; flat_vit_attention blocks heads by column instead)
+S_PADF = -(-S // 8) * 8
+M_F = B_IMG * S_PADF
+M_PADF = -(-M_F // (16 * GRID)) * 16 * GRID
 N_FC1 = INTER // D_VIT
 N_FC2 = INTER // D_VIT
 assert 4 + N_FC1 + N_FC2 <= L_DEC
@@ -102,8 +109,13 @@ VIT = {
 }
 
 X_DEC0 = t(B_DEC, D_DEC, scale=0.5)
-XW0 = jnp.pad(
-    t(M_REAL, D_VIT, scale=0.5), ((0, M_PAD - M_REAL), (0, 0))
+_TOK0 = t(M_REAL, D_VIT, scale=0.5)
+XW0 = jnp.pad(_TOK0, ((0, M_PAD - M_REAL), (0, 0)))
+XW0_F = jnp.pad(
+    jnp.pad(
+        _TOK0.reshape(B_IMG, S, D_VIT), ((0, 0), (0, S_PADF - S), (0, 0))
+    ).reshape(M_F, D_VIT),
+    ((0, M_PADF - M_F), (0, 0)),
 )
 
 
@@ -149,6 +161,24 @@ def _attention(qb, kb, vb, glue="xla"):
     return jnp.pad(merged, ((0, M_PAD - M_REAL), (0, 0)))
 
 
+def _attention_flat(qb, kb, vb):
+    """Flat-layout glue: (M_PADF, D) buffers -> (M_PADF, D) merged
+    attention with ZERO transpose/pad copies — flat_vit_attention
+    consumes the (B, S_PADF, D) view directly (free reshape when
+    M_PADF == M_F; a row slice otherwise)."""
+    from open_flamingo_tpu.ops.vit_attention import flat_vit_attention
+
+    def to3(x):
+        return x[:M_F].reshape(B_IMG, S_PADF, D_VIT)
+
+    out = flat_vit_attention(
+        to3(qb), to3(kb), to3(vb), DH ** -0.5, heads=H, s_real=S,
+    ).reshape(M_F, D_VIT)
+    if M_PADF == M_F:
+        return out
+    return jnp.pad(out, ((0, M_PADF - M_F), (0, 0)))
+
+
 def vit_layer_ref(x, pv):
     """Plain-XLA CLIP ViT block (pre-LN, quick_gelu) on (M_PAD, D)."""
     h = _ln(x, pv["ln1s"], pv["ln1b"]).astype(x.dtype)
@@ -190,7 +220,10 @@ def body(carry, pv, absorb: bool, glue: str = "xla"):
                     side_b=pv["bk"])
         vb = launch(side_x=xw, side_w=pv["wv"], side_ln=ln1,
                     side_b=pv["bv"])
-        att = _attention(qb, kb, vb, glue=glue)
+        if glue == "flat":
+            att = _attention_flat(qb, kb, vb)
+        else:
+            att = _attention(qb, kb, vb, glue=glue)
         x2 = launch(side_x=att, side_w=pv["wo"], side_b=pv["bo"],
                     side_residual=xw)
         ln2 = (pv["ln2s"], pv["ln2b"])
@@ -275,15 +308,26 @@ np.testing.assert_allclose(
 )
 print("main stream output identical with/without side work", flush=True)
 
+def _extract_flat(xw_f):
+    """(M_PADF, D) flat-layout workspace -> (M_REAL, D) real token rows."""
+    return np.asarray(
+        xw_f[:M_F], np.float32
+    ).reshape(B_IMG, S_PADF, D_VIT)[:, :S].reshape(M_REAL, D_VIT)
+
+
 if CPU:
     _, xw_k = run_scan(X_DEC0, XW0, VIT, absorb=True, glue="kernel")
     rel_k = (
         np.abs(np.asarray(xw_k[:M_REAL], np.float32) - r).max() / scale
     )
     assert rel_k < 1e-3, f"kernel-glue schedule diverges: rel {rel_k}"
+    _, xw_fl = run_scan(X_DEC0, XW0_F, VIT, absorb=True, glue="flat")
+    rel_f = np.abs(_extract_flat(xw_fl) - r).max() / scale
+    assert rel_f < 1e-3, f"flat-glue schedule diverges: rel {rel_f}"
     print(json.dumps({
         "mode": "cpu", "parity_rel": float(rel),
         "kernel_glue_rel": float(rel_k),
+        "flat_glue_rel": float(rel_f),
     }))
     sys.exit(0)
 
@@ -306,9 +350,18 @@ rel_k32 = np.abs(ak - f).max() / scale
 print(f"kernel-glue parity vs f32: {rel_k32:.4g}", flush=True)
 assert rel_k32 < 2.0 * rel_r32 + 0.02
 
+# flat-glue arm (round-5 lever (a)): zero-copy attention boundary
+xd_fl, xw_fl = run_scan(X_DEC0, XW0_F, VIT, absorb=True, glue="flat")
+rel_f32 = np.abs(_extract_flat(xw_fl) - f).max() / scale
+print(f"flat-glue parity vs f32: {rel_f32:.4g}", flush=True)
+assert rel_f32 < 2.0 * rel_r32 + 0.02
+
 t_absorb = timed(lambda: run_scan(X_DEC0, XW0, VIT, absorb=True))
 t_absorb_k = timed(
     lambda: run_scan(X_DEC0, XW0, VIT, absorb=True, glue="kernel")
+)
+t_absorb_f = timed(
+    lambda: run_scan(X_DEC0, XW0_F, VIT, absorb=True, glue="flat")
 )
 t_stream = timed(lambda: run_scan(X_DEC0, XW0, VIT, absorb=False))
 t_vit = timed(lambda: run_vit_ref(XW0, VIT))
@@ -319,6 +372,14 @@ out = {
     "serial_total_ms": round((t_stream + t_vit) * 1e3, 2),
     "absorbed_ms": round(t_absorb * 1e3, 2),
     "absorbed_kernel_glue_ms": round(t_absorb_k * 1e3, 2),
+    "absorbed_flat_glue_ms": round(t_absorb_f * 1e3, 2),
+    "absorb_overhead_flat_glue_ms": round(
+        (t_absorb_f - t_stream) * 1e3, 2
+    ),
+    "net_saved_flat_glue_ms": round(
+        (t_stream + t_vit - t_absorb_f) * 1e3, 2
+    ),
+    "flat_glue_rel_vs_f32": float(rel_f32),
     "net_saved_ms": round((t_stream + t_vit - t_absorb) * 1e3, 2),
     "net_saved_kernel_glue_ms": round(
         (t_stream + t_vit - t_absorb_k) * 1e3, 2

