@@ -108,6 +108,63 @@ def greedy_or_sample(
     return tokens.T  # (B, max_new_tokens)
 
 
+def greedy_absorb(
+    step_fn: StepFn,
+    absorb_step_fn,
+    first_logits: jax.Array,
+    cache: KVCache,
+    cfg: GenerationConfig,
+    xw0: jax.Array,
+    vp_steps,
+    n_abs: int,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """greedy_or_sample with the first n_abs steps carrying the NEXT
+    batch's absorbed-ViT side schedule (models/absorb_vit.py): two
+    scans — the absorb phase consumes vp_steps (one tree slice of ViT
+    layer params per decode step) and threads the flat vision
+    workspace; the remainder runs the plain step. Token stream is
+    IDENTICAL to greedy_or_sample (side tiles never touch the main
+    kernels' outputs — tests/test_absorb_vit.py).
+
+    Returns (tokens (B, max_new), final ViT workspace (m_pad, D))."""
+    b = first_logits.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def make_body(absorb: bool):
+        def body(carry, xs):
+            logits, cache, finished, step, rng, xw = carry
+            rng, sub = jax.random.split(rng)
+            logits = _process_logits(logits, step, cfg)
+            tok = _sample_token(logits, sub, cfg)
+            if cfg.eos_token_id is not None:
+                tok = jnp.where(finished, cfg.pad_token_id, tok)
+                finished = finished | (tok == cfg.eos_token_id)
+            mask = jnp.ones((b, 1), jnp.int32)
+            if absorb:
+                new_logits, cache, xw = absorb_step_fn(
+                    tok[:, None], mask, cache, xw, xs
+                )
+            else:
+                new_logits, cache = step_fn(tok[:, None], mask, cache)
+            return (new_logits[:, 0], cache, finished, step + 1, rng, xw), tok
+        return body
+
+    init = (
+        first_logits, cache, jnp.zeros((b,), bool),
+        jnp.zeros((), jnp.int32), rng, xw0,
+    )
+    carry, toks_a = jax.lax.scan(
+        make_body(True), init, vp_steps, length=n_abs
+    )
+    xw_final = carry[5]
+    carry, toks_b = jax.lax.scan(
+        make_body(False), carry, None, length=cfg.max_new_tokens - n_abs
+    )
+    return jnp.concatenate([toks_a, toks_b], axis=0).T, xw_final
+
+
 # --- beam search -----------------------------------------------------------
 
 
@@ -289,6 +346,7 @@ def flamingo_generate(
     cfg: GenerationConfig,
     rng: Optional[jax.Array] = None,
     media_latents: Optional[jax.Array] = None,
+    next_pixels: Optional[jax.Array] = None,
 ) -> jax.Array:
     """End-to-end generation mirroring Flamingo.generate
     (open_flamingo/src/flamingo.py:124-175): encode vision once, replicate
@@ -297,7 +355,14 @@ def flamingo_generate(
 
     media_latents: precomputed (B, T_img, n_latents, D) perceiver
     latents — skips the vision encode entirely (the eval harness's
-    demo-latent cache computes each unique image's latents once)."""
+    demo-latent cache computes each unique image's latents once).
+
+    next_pixels: (B', T', F', H, W, C) pixels of the NEXT batch. When
+    given, returns (tokens, next_media_latents): the next batch's ViT
+    forward rides THIS batch's decode loop as absorbed side tiles
+    (models/absorb_vit.py) when the geometry allows, else runs
+    serially after — either way next_media_latents feeds the next
+    call's media_latents=. Token stream identical in all cases."""
     b, t = lang_x.shape
     k = cfg.num_beams
     # round the cache up to the fused decode kernels' S-block quantum
@@ -402,6 +467,70 @@ def flamingo_generate(
             method=Flamingo.decode_step,
         )
 
+    # absorbed-ViT cross-batch pipelining: encode next_pixels inside
+    # this batch's decode loop when the geometry carries the schedule
+    absorb_plan = None
+    if next_pixels is not None and k == 1:
+        from .models.absorb_vit import make_plan
+
+        if (
+            scan_groups is not None
+            and dense_stream.use_fused_decode(1, True)
+            and dense_stream.fused_head_dim_ok(model.cfg.lm.head_dim)
+        ):
+            absorb_plan = make_plan(
+                model.cfg, next_pixels.shape[:3], cfg.max_new_tokens,
+                num_beams=k,
+            )
+
+    if absorb_plan is not None:
+        from .models.absorb_vit import (
+            finish_tokens,
+            patch_embed_flat,
+            split_steps,
+            stack_vit_params,
+        )
+
+        venc = params["params"]["vision_encoder"]
+        vstack = stack_vit_params(
+            venc, absorb_plan.n_vit_layers, model.dtype
+        )
+        vp_steps = split_steps(vstack, absorb_plan)
+        nb, nt, nf = next_pixels.shape[:3]
+        xw0 = patch_embed_flat(
+            model.cfg.vision, venc,
+            next_pixels.reshape(nb * nt * nf, *next_pixels.shape[3:]),
+            absorb_plan, model.dtype,
+        )
+
+        def absorb_step_fn(tok, mask, cache, xw, vp):
+            return model.apply(
+                params, decode_latents, tok, mask, cache, n_media,
+                xw, vp, absorb_plan,
+                method=Flamingo.decode_step_absorb,
+            )
+
+        tokens, xw_fin = greedy_absorb(
+            step_fn, absorb_step_fn, first_logits, cache, cfg,
+            xw0, vp_steps, absorb_plan.n_steps, rng,
+        )
+        next_tokens5 = finish_tokens(
+            model.cfg.vision, venc, xw_fin, absorb_plan
+        )
+        next_latents = model.apply(
+            params, next_tokens5, method=Flamingo.resample_vision
+        )
+        return tokens, next_latents
+
     if k > 1:
-        return beam_search(step_fn, first_logits, cache, cfg, prompt_len=t)
-    return greedy_or_sample(step_fn, first_logits, cache, cfg, rng)
+        out = beam_search(step_fn, first_logits, cache, cfg, prompt_len=t)
+    else:
+        out = greedy_or_sample(step_fn, first_logits, cache, cfg, rng)
+    if next_pixels is not None:
+        # geometry couldn't carry the schedule: serial fallback keeps
+        # the (tokens, next_latents) contract
+        next_latents = model.apply(
+            params, next_pixels, method=Flamingo.embed_vision
+        )
+        return out, next_latents
+    return out

@@ -58,6 +58,20 @@ class AbsorbPlan:
     per_step: int     # ViT layers absorbed per decode step
     n_steps: int      # decode steps that carry side work
     n_vit_layers: int
+    # tile split factor: every side matmul is cut into `split` column
+    # (projections, fc1) or row (fc2) parts so the per-launch side MXU
+    # time fits UNDER the carrying launch's DMA window (measured: a
+    # full (8448,1024)@(1024,1024) tile needs ~170us of MXU vs the
+    # ~100us bf16 MLP window — exposed; halves fit). Costs one extra
+    # stream of the proj/fc1 side_x per extra part + concat copies.
+    split: int = 1
+
+    @property
+    def side_groups(self) -> int:
+        """Groups of each absorbing decode step that carry side tiles
+        (the rest run the plain body — spreading the ViT MXU across
+        more launches' DMA windows)."""
+        return self.macro * self.per_step
 
     @property
     def bv(self) -> int:
@@ -65,7 +79,7 @@ class AbsorbPlan:
 
     @property
     def slots_per_layer(self) -> int:
-        return 4 + self.n_fc1 + self.n_fc2
+        return self.split * (4 + self.n_fc1 + self.n_fc2)
 
 
 def _mlp_grid_n(k2: int, int_stream: bool) -> int:
@@ -80,7 +94,6 @@ def make_plan(
     cfg,                       # FlamingoConfig
     vision_shape,              # (b, t_img, f) of the NEXT batch
     max_new_tokens: int,
-    int_stream: bool,          # decode MLP weights stream int8/int4
     num_beams: int = 1,
 ) -> Optional[AbsorbPlan]:
     """None when the geometry can't carry the schedule (caller falls
@@ -100,23 +113,42 @@ def make_plan(
     if v.intermediate_size % d:
         return None
     n_fc1 = n_fc2 = v.intermediate_size // d
-    spl = 4 + n_fc1 + n_fc2
     n = cfg.cross_attn_every_n or 1
     if lm.num_layers % n:
         return None
     spg = n + 1                     # xattn MLP + n decoder MLPs / group
-    if spl % spg:
-        return None
-    macro = spl // spg
     g = lm.num_layers // n
-    if g % macro:
+    # prefer split=2 (tiles fit under the DMA window); fall back to
+    # whole tiles when the doubled slot count outgrows the group count.
+    # split must also keep D/split a 128-lane multiple for the slices.
+    macro = split = None
+    for fs in (2, 1):
+        spl = fs * (4 + n_fc1 + n_fc2)
+        if fs > 1 and (d // fs) % 128:
+            continue
+        if spl % spg or (spl // spg) > g or g % (spl // spg):
+            continue
+        macro, split = spl // spg, fs
+        break
+    if macro is None:
         return None
-    per_step = g // macro
-    if v.num_layers % per_step:
+    # spread: absorb as FEW ViT layers per decode step as max_new
+    # allows. The hiding budget is the carrying launches' DMA windows;
+    # packing the schedule densely (round-5 first cut: g/macro layers
+    # in g/macro/... steps) over-subscribed the windows by ~2x and
+    # exposed the side MXU (BASELINE.md round-5 integrated A/B). The
+    # smallest per_step with n_steps <= max_new and side_groups <= g
+    # puts one layer on 12 of the step's launches when max_new >= L_v.
+    per_step = None
+    for cand in range(1, g // macro + 1):
+        if v.num_layers % cand or macro * cand > g:
+            continue
+        if v.num_layers // cand <= max_new_tokens:
+            per_step = cand
+            break
+    if per_step is None:
         return None
     n_steps = v.num_layers // per_step
-    if max_new_tokens < n_steps:
-        return None
 
     b, t, f = vision_shape
     s_real = v.num_patches + 1
@@ -124,8 +156,12 @@ def make_plan(
     m_f = b * t * f * s_pad
     k2_dec = lm.intermediate_size
     k2_x = 4 * lm.hidden_size       # GatedCrossAttentionBlock ff_mult=4
+    # row quantum over BOTH weight-stream dtypes' grids (bf16 vs int
+    # blocks differ — dense_stream dtype-aware block_k2) so one plan
+    # serves quantized and unquantized params alike
     quantum = 16 * math.lcm(
-        _mlp_grid_n(k2_dec, int_stream), _mlp_grid_n(k2_x, int_stream)
+        _mlp_grid_n(k2_dec, True), _mlp_grid_n(k2_dec, False),
+        _mlp_grid_n(k2_x, True), _mlp_grid_n(k2_x, False),
     )
     m_pad = -(-m_f // quantum) * quantum
     return AbsorbPlan(
@@ -133,7 +169,7 @@ def make_plan(
         d=d, heads=heads, n_fc1=n_fc1, n_fc2=n_fc2,
         act="quick_gelu" if v.hidden_act == "quick_gelu" else "gelu",
         eps=v.layer_norm_eps, macro=macro, per_step=per_step,
-        n_steps=n_steps, n_vit_layers=v.num_layers,
+        n_steps=n_steps, n_vit_layers=v.num_layers, split=split,
     )
 
 
@@ -215,7 +251,18 @@ def finish_tokens(
 class VitSideFeed:
     """Trace-time scheduler: hands each fused_mlp launch in a macro
     scan body its side-slot kwargs and routes the side outputs. One
-    instance per (macro iteration = one ViT layer)."""
+    instance per (macro iteration = one ViT layer).
+
+    With plan.split == F every matmul is cut into F parts (projections
+    and fc1 by output columns, fc2 by input rows) so each part's MXU
+    time fits under one launch's weight-DMA window. Slot layout:
+
+      [0, 3F)            q/k/v column parts (pre-LN1 fused)
+      glue               flat attention on the concatenated q/k/v
+      [3F, 4F)           out-proj column parts (+ xw column residual)
+      [4F, 4F + n1*F)    fc1 column slices (width D/F, pre-LN2 fused)
+      [.., end)          fc2 row slices (quick_gelu, residual chain)
+    """
 
     def __init__(self, vp: Dict[str, Any], xw: jax.Array,
                  plan: AbsorbPlan, interpret: Optional[bool] = None):
@@ -224,30 +271,33 @@ class VitSideFeed:
         self.plan = plan
         self.interpret = interpret
         self.slot = 0
-        self.q = self.k = self.v = self.x2 = None
+        self.qkv = [[], [], []]    # column parts per projection
+        self.x2_parts = []
+        self.x2 = None
+        self.att = None
         self.h = []
         self.acc = None
 
-    def _slice1(self, w, i):
-        d = self.plan.d
-        return jax.lax.slice_in_dim(w, i * d, (i + 1) * d, axis=1)
+    def _cols(self, w, i, width):
+        return jax.lax.slice_in_dim(w, i * width, (i + 1) * width, axis=1)
 
-    def _slice0(self, w, i):
-        d = self.plan.d
-        return jax.lax.slice_in_dim(w, i * d, (i + 1) * d, axis=0)
+    def _rows(self, w, i, width):
+        return jax.lax.slice_in_dim(w, i * width, (i + 1) * width, axis=0)
 
     def _glue(self):
         from ..ops.vit_attention import flat_vit_attention
 
         p = self.plan
 
-        def to3(x):
+        def to3(parts):
+            x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
             return x[: p.m_f].reshape(p.bv, p.s_pad, p.d)
 
         dh = p.d // p.heads
         out = flat_vit_attention(
-            to3(self.q), to3(self.k), to3(self.v), dh ** -0.5,
-            heads=p.heads, s_real=p.s_real, interpret=self.interpret,
+            to3(self.qkv[0]), to3(self.qkv[1]), to3(self.qkv[2]),
+            dh ** -0.5, heads=p.heads, s_real=p.s_real,
+            interpret=self.interpret,
         ).reshape(p.m_f, p.d)
         if p.m_pad > p.m_f:
             out = jnp.pad(out, ((0, p.m_pad - p.m_f), (0, 0)))
@@ -255,36 +305,40 @@ class VitSideFeed:
 
     def kwargs(self) -> Dict[str, Any]:
         vp, p, s = self.vp, self.plan, self.slot
+        F = p.split
+        w = p.d // F
         kw = dict(side_eps=p.eps)
-        if s < 3:
-            name = ("q_proj", "k_proj", "v_proj")[s]
+        if s < 3 * F:
+            name = ("q_proj", "k_proj", "v_proj")[s // F]
+            i = s % F
             return dict(
-                side_x=self.xw, side_w=vp[name]["kernel"],
+                side_x=self.xw, side_w=self._cols(vp[name]["kernel"], i, w),
                 side_ln=(vp["layer_norm1"]["scale"],
                          vp["layer_norm1"]["bias"]),
-                side_b=vp[name]["bias"], **kw,
+                side_b=self._rows(vp[name]["bias"], i, w), **kw,
             )
-        if s == 3:
-            att = self._glue()
+        if s < 4 * F:
+            if self.att is None:
+                self.att = self._glue()
+            i = s - 3 * F
             return dict(
-                side_x=att, side_w=vp["out_proj"]["kernel"],
-                side_b=vp["out_proj"]["bias"], side_residual=self.xw,
-                **kw,
+                side_x=self.att,
+                side_w=self._cols(vp["out_proj"]["kernel"], i, w),
+                side_b=self._rows(vp["out_proj"]["bias"], i, w),
+                side_residual=self._cols(self.xw, i, w), **kw,
             )
-        if s < 4 + p.n_fc1:
-            i = s - 4
+        if s < (4 + p.n_fc1) * F:
+            i = s - 4 * F
             return dict(
-                side_x=self.x2, side_w=self._slice1(vp["fc1"]["kernel"], i),
+                side_x=self.x2,
+                side_w=self._cols(vp["fc1"]["kernel"], i, w),
                 side_ln=(vp["layer_norm2"]["scale"],
                          vp["layer_norm2"]["bias"]),
-                side_b=jax.lax.slice_in_dim(
-                    vp["fc1"]["bias"], i * p.d, (i + 1) * p.d, axis=0
-                ),
-                **kw,
+                side_b=self._rows(vp["fc1"]["bias"], i, w), **kw,
             )
-        i = s - 4 - p.n_fc1
+        i = s - (4 + p.n_fc1) * F
         return dict(
-            side_x=self.h[i], side_w=self._slice0(vp["fc2"]["kernel"], i),
+            side_x=self.h[i], side_w=self._rows(vp["fc2"]["kernel"], i, w),
             side_act=p.act,
             side_b=vp["fc2"]["bias"] if i == 0 else None,
             side_residual=self.acc, **kw,
@@ -292,17 +346,19 @@ class VitSideFeed:
 
     def take(self, so: jax.Array):
         s, p = self.slot, self.plan
+        F = p.split
         self.slot += 1
-        if s == 0:
-            self.q = so
-        elif s == 1:
-            self.k = so
-        elif s == 2:
-            self.v = so
-        elif s == 3:
-            self.x2 = so
-            self.acc = so          # fc2 residual chain starts at x2
-        elif s < 4 + p.n_fc1:
+        if s < 3 * F:
+            self.qkv[s // F].append(so)
+        elif s < 4 * F:
+            self.x2_parts.append(so)
+            if len(self.x2_parts) == F:
+                self.x2 = (
+                    self.x2_parts[0] if F == 1
+                    else jnp.concatenate(self.x2_parts, -1)
+                )
+                self.acc = self.x2   # fc2 residual chain starts at x2
+        elif s < (4 + p.n_fc1) * F:
             self.h.append(so)
         else:
             self.acc = so

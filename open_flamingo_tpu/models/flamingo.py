@@ -119,6 +119,42 @@ class Flamingo(nn.Module):
         )
         return logits, media_latents, cache
 
+    def resample_vision(self, x: jax.Array) -> jax.Array:
+        """(b, t, f, v, d) ViT patch tokens -> perceiver latents — the
+        back half of embed_vision, for callers that computed the ViT
+        forward elsewhere (the absorbed-ViT path, models/absorb_vit.py)."""
+        if self.cfg.freeze_vision:
+            x = jax.lax.stop_gradient(x)
+        return self.perceiver(x)
+
+    def decode_step_absorb(
+        self,
+        media_latents: jax.Array,
+        lang_x: jax.Array,
+        attention_mask: jax.Array,
+        cache: KVCache,
+        num_media: jax.Array,
+        side_xw: jax.Array,
+        side_vp,
+        side_plan,
+        side_interpret=None,
+    ) -> Tuple[jax.Array, KVCache, jax.Array]:
+        """decode_step carrying one step's absorbed-ViT side schedule:
+        the NEXT batch's ViT layers ride this step's weight streams
+        (models/absorb_vit.py). Returns (logits, cache, new workspace)."""
+        text_time = jnp.broadcast_to(
+            num_media[:, None], (lang_x.shape[0], lang_x.shape[1])
+        ).astype(jnp.int32)
+        logits, cache, xw = self.lm(
+            lang_x,
+            attention_mask,
+            media=media_latents,
+            text_time=text_time,
+            cache=cache,
+            side=(side_vp, side_xw, side_plan, side_interpret),
+        )
+        return logits, cache, xw
+
     def decode_step(
         self,
         media_latents: jax.Array,

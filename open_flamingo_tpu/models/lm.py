@@ -210,6 +210,7 @@ class FlamingoLM(nn.Module):
         media: Optional[jax.Array] = None,
         text_time: Optional[jax.Array] = None,
         cache: Optional[KVCache] = None,
+        side=None,
     ) -> Tuple[jax.Array, Optional[KVCache]]:
         """
         input_ids:      (B, T) int32
@@ -217,7 +218,11 @@ class FlamingoLM(nn.Module):
         media:          (B, T_img, n_latents, vis_dim) perceiver latents
         text_time:      (B, T) media-time of each text position (see xattn)
         cache:          KVCache for incremental decode
-        Returns (logits (B, T, V) fp32, updated cache or None).
+        side:           absorbed-ViT side schedule for this decode step
+                        ((vp_step, xw, plan, interpret) — absorb_vit.py);
+                        requires the stacked-weight scan decode engine
+        Returns (logits (B, T, V) fp32, updated cache or None) — plus
+        the new side workspace as a third element when `side` is given.
         """
         cfg = self.cfg
         if attention_mask is None:
@@ -258,6 +263,15 @@ class FlamingoLM(nn.Module):
             )
         media_cache = cache.media if cache is not None else None
 
+        side_xw = None
+        if side is not None:
+            # absorbed-ViT side work is only legal on the stacked-weight
+            # scan engine path — generation gates on the same conditions
+            # (generation.py), so a mismatch here is a programming error
+            assert self.scan_layers and self._can_scan_fused_decode(
+                input_ids.shape[1], cache, media, media_cache
+            ), "side absorption requires the scan fused decode engine"
+
         tp_decode_on = False
         if self.scan_layers and not self.is_initializing():
             from .tp_decode import tp_ready
@@ -265,6 +279,11 @@ class FlamingoLM(nn.Module):
             tp_decode_on = tp_ready(
                 cfg, input_ids.shape[1], cache, media, media_cache,
                 self.variables.get("params", {}).get("groups"),
+            )
+        if side is not None:
+            assert not tp_decode_on, (
+                "side absorption is not supported under tensor "
+                "parallelism (the side tiles have no sharding rules)"
             )
         if tp_decode_on:
             # model-axis tensor parallelism: the same stacked-weight
@@ -295,7 +314,7 @@ class FlamingoLM(nn.Module):
             from .scan_decode import scan_fused_decode
 
             variables = self.variables
-            x, new_layers = scan_fused_decode(
+            res = scan_fused_decode(
                 cfg,
                 x,
                 attn,
@@ -307,7 +326,12 @@ class FlamingoLM(nn.Module):
                 media.shape[1] if media is not None else 0,
                 media.shape[2] if media is not None else 0,
                 self.dtype,
+                side=side,
             )
+            if side is not None:
+                x, new_layers, side_xw = res
+            else:
+                x, new_layers = res
         elif self.scan_layers:
             x, new_layers = self._scan_stack(
                 x, attn, media, text_time, media_mask, zero_rows,
@@ -427,6 +451,8 @@ class FlamingoLM(nn.Module):
                 layers=tuple(new_layers),
                 index=cache.index + input_ids.shape[1],
             )
+        if side is not None:
+            return logits, cache, side_xw
         return logits, cache
 
     def _scan_stack(

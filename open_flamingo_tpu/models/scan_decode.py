@@ -68,13 +68,22 @@ def _unpack_kv(res, int8: bool):
     return y, LayerKV(k=kc, v=vc)
 
 
+def _mlp(side_kw, *args, **kw):
+    """fused_mlp with optional absorbed-ViT side-slot kwargs
+    (models/absorb_vit.py). Returns (y, side_out|None)."""
+    if side_kw:
+        return fused_mlp(*args, **kw, **side_kw)
+    return fused_mlp(*args, **kw), None
+
+
 def _block_decode(
     cfg: DecoderConfig, x2, attn: AttnInputs, kv: LayerKV, li,
-    p: Dict, qp: Optional[Dict], dtype,
-) -> Tuple[jax.Array, LayerKV]:
+    p: Dict, qp: Optional[Dict], dtype, side_kw=None,
+) -> Tuple[jax.Array, LayerKV, Optional[jax.Array]]:
     """One decoder block's fused decode with stacked weights — mirrors
     the per-family `use_fused_decode` branches in models/decoders/*.py
-    (same kernels, layer_idx-indexed)."""
+    (same kernels, layer_idx-indexed). side_kw rides an absorbed-ViT
+    tile on the MLP launch; returns (y, new_kv, side_out|None)."""
     b = x2.shape[0]
     d = cfg.hidden_size
     hd = cfg.head_dim
@@ -91,7 +100,7 @@ def _block_decode(
         w_down, s_down = _w(p, qp, "down_proj", dtype)
         ln1b = p["norm_1"].get("bias") if not cfg.ln_no_bias else None
         ln2b = p["norm_2"].get("bias") if not cfg.ln_no_bias else None
-        if not fused_layer.DISABLE and not kv.int8:
+        if not fused_layer.DISABLE and not kv.int8 and side_kw is None:
             y, kc, vc = fused_layer.fused_layer_decode(
                 x2, p["norm_1"]["scale"], ln1b,
                 w_qkv, w_out, kv.k, kv.v, attn.pad_mask,
@@ -103,7 +112,7 @@ def _block_decode(
                 w1_scale=s_up, w2_scale=s_down,
                 eps=cfg.layer_norm_eps, layer_idx=li,
             )
-            return y, LayerKV(k=kc, v=vc)
+            return y, LayerKV(k=kc, v=vc), None
         x2, new_kv = _unpack_kv(attn_block_decode(
             x2,
             p["norm_1"]["scale"],
@@ -115,13 +124,14 @@ def _block_decode(
             wq_scale=s_qkv, wout_scale=s_out, layer_idx=li,
             k_scale=kv.k_s, v_scale=kv.v_s,
         ), kv.int8)
-        y = fused_mlp(
+        y, so = _mlp(
+            side_kw,
             x2, w_up, w_down, w1_scale=s_up, w2_scale=s_down,
             ln_scale=p["norm_2"]["scale"],
             ln_bias=ln2b,
             eps=cfg.layer_norm_eps, act="gelu", residual=x2, layer_idx=li,
         )
-        return y, new_kv
+        return y, new_kv, so
 
     if fam == "gptneox":
         rotary_ndims = int(hd * cfg.rotary_pct)
@@ -153,7 +163,8 @@ def _block_decode(
             k_scale=kv.k_s, v_scale=kv.v_s,
         ), kv.int8)
         mlp_in = x2 if cfg.use_parallel_residual else x2 + attn_out
-        y = fused_mlp(
+        y, so = _mlp(
+            side_kw,
             mlp_in, w_up, w_down, w1_scale=s_up, w2_scale=s_down,
             b1=_b(p, "dense_h_to_4h") if has_bias else None,
             b2=_b(p, "dense_4h_to_h") if has_bias else None,
@@ -162,7 +173,7 @@ def _block_decode(
             eps=cfg.layer_norm_eps, act="gelu",
             residual=x2 + attn_out, layer_idx=li,
         )
-        return y, new_kv
+        return y, new_kv, so
 
     if fam == "llama":
         h_kv = cfg.kv_heads
@@ -191,14 +202,15 @@ def _block_decode(
         w_gate, s_gate = _w(p, qp, "gate_proj", dtype)
         w_up, s_up = _w(p, qp, "up_proj", dtype)
         w_down, s_down = _w(p, qp, "down_proj", dtype)
-        y = fused_mlp(
+        y, so = _mlp(
+            side_kw,
             x2, w_gate, w_down, w1_gate=w_up,
             w1_scale=s_gate, w2_scale=s_down, w1_gate_scale=s_up,
             ln_scale=p["post_attention_layernorm"]["scale"],
             eps=cfg.layer_norm_eps, norm="rms", act="silu",
             residual=x2, layer_idx=li,
         )
-        return y, new_kv
+        return y, new_kv, so
 
     if fam == "gptj":
         rotary_dim = cfg.rotary_dim or hd
@@ -231,12 +243,13 @@ def _block_decode(
             wout_scale=s_o, layer_idx=li,
             k_scale=kv.k_s, v_scale=kv.v_s,
         ), kv.int8)
-        y = fused_mlp(
+        y, so = _mlp(
+            side_kw,
             x2, w_in, w_fo, w1_scale=s_in, w2_scale=s_fo,
             b1=_b(p, "fc_in"), b2=_b(p, "fc_out"),
             act=act_name, residual=x2 + attn_out, **ln_kw,
         )
-        return y, new_kv
+        return y, new_kv, so
 
     if fam == "opt":
         ln_kw = dict(
@@ -263,23 +276,27 @@ def _block_decode(
             layer_idx=li,
             k_scale=kv.k_s, v_scale=kv.v_s,
         ), kv.int8)
-        y = fused_mlp(
+        y, so = _mlp(
+            side_kw,
             x2, w_1, w_2, w1_scale=s_1, w2_scale=s_2,
             b1=_b(p, "fc1"), b2=_b(p, "fc2"),
             ln_scale=p["final_layer_norm"]["scale"],
             ln_bias=p["final_layer_norm"]["bias"],
             eps=cfg.layer_norm_eps, act="relu", residual=x2, layer_idx=li,
         )
-        return y, new_kv
+        return y, new_kv, so
 
     raise ValueError(f"unknown family {fam!r}")
 
 
 def _xattn_decode(
     x2, mkv: LayerKV, mask2d, li, xp: Dict, xqp: Optional[Dict], dtype,
-) -> jax.Array:
+    side_kw=None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Gated cross-attention fused decode with stacked weights —
-    mirrors GatedCrossAttentionBlock's fused branch (models/xattn.py)."""
+    mirrors GatedCrossAttentionBlock's fused branch (models/xattn.py).
+    side_kw rides an absorbed-ViT tile on the ff launch; returns
+    (y, side_out|None)."""
     from ..ops import fused_layer
 
     ap = xp["attn"]
@@ -293,7 +310,7 @@ def _xattn_decode(
     heads = inner // dim_head
     w_1, s_1 = _w(fp, fqp, "fc1", dtype)
     w_2, s_2 = _w(fp, fqp, "fc2", dtype)
-    if not fused_layer.DISABLE and not mkv.int8:
+    if not fused_layer.DISABLE and not mkv.int8 and side_kw is None:
         return fused_layer.fused_layer_decode(
             x2, ap["norm"]["scale"], ap["norm"]["bias"],
             w_q, w_o, mkv.k, mkv.v, mask2d,
@@ -303,7 +320,7 @@ def _xattn_decode(
             wq_scale=s_q, wout_scale=s_o,
             w1_scale=s_1, w2_scale=s_2,
             eps=LN_EPS, layer_idx=li,
-        )
+        ), None
     y = attn_block_decode(
         x2, ap["norm"]["scale"], ap["norm"]["bias"],
         w_q, w_o, mkv.k, mkv.v, mask2d,
@@ -312,13 +329,14 @@ def _xattn_decode(
         wq_scale=s_q, wout_scale=s_o, layer_idx=li,
         k_scale=mkv.k_s, v_scale=mkv.v_s,
     )
-    y2 = fused_mlp(
+    y2, so = _mlp(
+        side_kw,
         y, w_1, w_2, w1_scale=s_1, w2_scale=s_2,
         ln_scale=fp["norm"]["scale"], ln_bias=fp["norm"]["bias"],
         eps=LN_EPS, act="gelu", residual=y, gate=xp["ff_gate"],
         layer_idx=li,
     )
-    return y2
+    return y2, so
 
 
 def scan_fused_decode(
@@ -333,6 +351,7 @@ def scan_fused_decode(
     t_img: int,
     n_latents: int,
     dtype,
+    side=None,                        # (vp_step, xw, plan, interpret)
 ) -> Tuple[jax.Array, list]:
     """Run the full decode layer stack as lax.scan over layer groups.
 
@@ -361,23 +380,77 @@ def scan_fused_decode(
         mkv = None
         mask2d = None
 
-    def body(carry, li):
+    def body_plain(carry, li):
         x2, kvs = carry
         new_kvs = list(kvs)
         for k in range(n):
             if k == n - 1 and has_xattn:
-                x2 = _xattn_decode(
+                x2, _ = _xattn_decode(
                     x2, mkv, mask2d, li,
-                    groups["xattn"], (qgroups or {}).get("xattn"), dtype,
+                    groups["xattn"], (qgroups or {}).get("xattn"),
+                    dtype,
                 )
-            x2, new_kvs[k] = _block_decode(
+            x2, new_kvs[k], _ = _block_decode(
                 cfg, x2, attn, kvs[k], li,
                 groups[f"block_{k}"], (qgroups or {}).get(f"block_{k}"),
                 dtype,
             )
         return (x2, tuple(new_kvs)), None
 
-    (x2, new_layers), _ = jax.lax.scan(
-        body, (x2, tuple(cache.layers)), jnp.arange(g, dtype=jnp.int32)
+    if side is None:
+        (x2, new_layers), _ = jax.lax.scan(
+            body_plain, (x2, tuple(cache.layers)),
+            jnp.arange(g, dtype=jnp.int32),
+        )
+        return x2[:, None], list(new_layers)
+
+    # --- absorbed-ViT macro scan (models/absorb_vit.py) ----------------
+    # The first macro*per_step groups are re-blocked into macro
+    # iterations carrying EXACTLY one ViT layer's side schedule each
+    # (n+1 MLP launches per group x macro groups == slots_per_layer) —
+    # static slot placement, no lax.cond; the attention glue between
+    # slots 2 and 3 serializes itself through data dependencies. The
+    # REMAINING groups run the plain body: spreading layers across
+    # decode steps (small per_step) leaves those launches' DMA windows
+    # to the main stream and keeps the side MXU under the hiding budget.
+    from .absorb_vit import VitSideFeed
+
+    vp_step, xw0, plan, interp = side
+    assert has_xattn, "absorb schedule rides the xattn MLP launches"
+    gs = plan.side_groups
+    assert gs <= g and gs == plan.macro * plan.per_step, (g, plan)
+    li_side = jnp.arange(gs, dtype=jnp.int32).reshape(
+        plan.per_step, plan.macro
     )
-    return x2[:, None], list(new_layers)
+
+    def body_side(carry, xs):
+        x2, kvs, xw = carry
+        li_vec, vp = xs
+        feed = VitSideFeed(vp, xw, plan, interpret=interp)
+        new_kvs = list(kvs)
+        for j in range(plan.macro):
+            li = li_vec[j]
+            for k in range(n):
+                if k == n - 1:
+                    x2, so = _xattn_decode(
+                        x2, mkv, mask2d, li,
+                        groups["xattn"], (qgroups or {}).get("xattn"),
+                        dtype, side_kw=feed.kwargs(),
+                    )
+                    feed.take(so)
+                x2, new_kvs[k], so = _block_decode(
+                    cfg, x2, attn, new_kvs[k], li,
+                    groups[f"block_{k}"], (qgroups or {}).get(f"block_{k}"),
+                    dtype, side_kw=feed.kwargs(),
+                )
+                feed.take(so)
+        return (x2, tuple(new_kvs), feed.result()), None
+
+    (x2, kvs, xw), _ = jax.lax.scan(
+        body_side, (x2, tuple(cache.layers), xw0), (li_side, vp_step)
+    )
+    if gs < g:
+        (x2, kvs), _ = jax.lax.scan(
+            body_plain, (x2, kvs), jnp.arange(gs, g, dtype=jnp.int32)
+        )
+    return x2[:, None], list(kvs), xw

@@ -161,6 +161,9 @@ def main(argv=None):
             "token_ids": [int(t) for t in ids],
             "text": tokenizer.decode(ids, skip_special_tokens=True),
         }), flush=True)
+    # latency distribution (stderr: stdout is the jsonl result stream)
+    print(json.dumps({"latency": eng.latency_stats()}), file=sys.stderr,
+          flush=True)
 
 
 if __name__ == "__main__":

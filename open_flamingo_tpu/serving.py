@@ -59,6 +59,7 @@ class _Request:
     input_ids: np.ndarray       # (P,) int32
     attention_mask: np.ndarray  # (P,) int32
     max_new_tokens: int
+    t_submit: float = 0.0       # perf_counter at submit (latency stats)
 
 
 @dataclasses.dataclass
@@ -69,6 +70,9 @@ class _RowState:
     done: bool = False
     horizon: int = 0      # slot index by which this tenant must retire
     retired: bool = False
+    t_submit: float = 0.0
+    t_first: float = 0.0  # wall time the first token was OBSERVED
+    t_last: float = 0.0
 
 
 def _row_update(x, row, val):
@@ -151,6 +155,11 @@ class ServingEngine:
         self._queue: deque = deque()
         self._rows: List[Optional[_RowState]] = [None] * batch_size
         self._results: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        # per-request latency records {rid: {"ttft": s, "tpot": s,
+        # "e2e": s, "n": tokens}} — observation times are harvest-side
+        # wall clock, so pipeline_depth's delayed harvests are REAL
+        # user-visible latency, not hidden
+        self.latencies: Dict[int, Dict[str, float]] = {}
         self._next_rid = 0
         self._idx = 0           # host mirror of cache.index
         self._draining = False
@@ -470,8 +479,11 @@ class ServingEngine:
                 else np.asarray(attention_mask, np.int32))
         rid = self._next_rid
         self._next_rid += 1
+        import time
+
         self._queue.append(_Request(
-            rid, np.asarray(vision_x), ids, mask, max_new_tokens
+            rid, np.asarray(vision_x), ids, mask, max_new_tokens,
+            t_submit=time.perf_counter(),
         ))
         return rid
 
@@ -524,6 +536,7 @@ class ServingEngine:
         self._rows[row] = _RowState(
             req.rid, [], req.max_new_tokens,
             horizon=self._horizon(req.max_new_tokens),
+            t_submit=req.t_submit,
         )
 
     def _admit_many(self, admits):
@@ -572,6 +585,7 @@ class ServingEngine:
             self._rows[row] = _RowState(
                 req.rid, [], req.max_new_tokens,
                 horizon=self._horizon(req.max_new_tokens),
+                t_submit=req.t_submit,
             )
 
     def _harvest_one(self):
@@ -581,8 +595,11 @@ class ServingEngine:
         observed between dispatch and harvest is impossible, but the
         same _RowState object may have retired), pads emitted for a
         finished tenant can never leak into the next tenant's stream."""
+        import time
+
         toks_dev, snap = self._pending.popleft()
         toks = np.asarray(toks_dev)
+        now = time.perf_counter()
         eos = self.gen.eos_token_id
         for row in range(self.b):
             rs = snap[row]
@@ -591,15 +608,29 @@ class ServingEngine:
             for t in toks[row]:
                 if len(rs.emitted) < rs.max_new and not rs.done:
                     rs.emitted.append(int(t))
+                    if rs.t_first == 0.0:
+                        rs.t_first = now
+                    rs.t_last = now
                     if eos is not None and int(t) == eos:
                         rs.done = True
             if not rs.retired and (
                 rs.done or len(rs.emitted) >= rs.max_new
             ):
                 rs.retired = True
+                n_out = min(len(rs.emitted), rs.max_new)
                 self._results[rs.rid] = np.asarray(
-                    rs.emitted[: rs.max_new], np.int32
+                    rs.emitted[:n_out], np.int32
                 )
+                ttft = rs.t_first - rs.t_submit
+                self.latencies[rs.rid] = {
+                    "ttft_s": ttft,
+                    "tpot_s": (
+                        (rs.t_last - rs.t_first) / (n_out - 1)
+                        if n_out > 1 else 0.0
+                    ),
+                    "e2e_s": rs.t_last - rs.t_submit,
+                    "n": n_out,
+                }
                 if self._rows[row] is rs:
                     self._rows[row] = None
 
@@ -677,6 +708,16 @@ class ServingEngine:
         self._state, toks = self._chunk_jit(self._state, self.params)
         self._pending.append((toks, list(self._rows)))
         self._idx += self.chunk
+        # deterministic horizon re-tenancy: once the slot index reaches
+        # a tenant's horizon it CANNOT receive tokens from any future
+        # chunk (the dispatch guard above uses the same expression), so
+        # its row frees for re-admission NOW instead of `depth` chunks
+        # later when the harvest observes the retire. Its tokens still
+        # land via the dispatch-time snapshots; EOS-early retires are
+        # still discovered at harvest (host can't see tokens sooner).
+        for row, rs in enumerate(self._rows):
+            if rs is not None and self._idx >= rs.horizon:
+                self._rows[row] = None
         while len(self._pending) > self.depth:
             self._harvest_one()
         return bool(self._queue) or any(
@@ -689,3 +730,26 @@ class ServingEngine:
             pass
         out, self._results = self._results, OrderedDict()
         return out
+
+    def latency_stats(self) -> Dict[str, float]:
+        """p50/p99 TTFT and TPOT over every retired request (seconds,
+        harvest-observed — pipeline depth's delayed reads count as real
+        latency). Empty dict before the first retire."""
+        if not self.latencies:
+            return {}
+        recs = list(self.latencies.values())
+
+        def pct(key, q):
+            vals = sorted(r[key] for r in recs)
+            i = min(len(vals) - 1, int(round(q * (len(vals) - 1))))
+            return vals[i]
+
+        return {
+            "n_requests": len(recs),
+            "ttft_p50_s": round(pct("ttft_s", 0.50), 4),
+            "ttft_p99_s": round(pct("ttft_s", 0.99), 4),
+            "tpot_p50_s": round(pct("tpot_s", 0.50), 5),
+            "tpot_p99_s": round(pct("tpot_s", 0.99), 5),
+            "e2e_p50_s": round(pct("e2e_s", 0.50), 4),
+            "e2e_p99_s": round(pct("e2e_s", 0.99), 4),
+        }

@@ -1,0 +1,231 @@
+"""Absorbed-ViT cross-batch pipelining (models/absorb_vit.py):
+
+1. token EXACTNESS: a generate carrying the next batch's ViT as side
+   tiles must emit bitwise-identical tokens to the plain path (side
+   tiles never touch the main kernels' outputs);
+2. latents parity: the absorbed ViT forward + perceiver must match
+   embed_vision on the same pixels (f32 interpret mode — exact math,
+   different schedule);
+3. plan gating: geometries that can't carry the schedule return None /
+   take the serial fallback (same (tokens, latents) contract).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+from open_flamingo_tpu.models.decoders.common import DecoderConfig
+from open_flamingo_tpu.models.flamingo import Flamingo, FlamingoConfig
+from open_flamingo_tpu.models.vit import VisionConfig
+from open_flamingo_tpu.models.absorb_vit import make_plan
+from open_flamingo_tpu.ops import dense_stream, vit_attention
+
+VOCAB, MEDIA, EOC = 128, 3, 4
+
+# geometry chosen so the schedule fits: vision D=32/I=64 -> n_fc1=2,
+# slots_per_layer=8; n=1 -> 2 slots/group -> macro=4; lm layers 4 ->
+# per_step=1; vit layers 2 -> n_steps=2 <= max_new
+VIS = VisionConfig(
+    image_size=16, patch_size=8, hidden_size=32, num_layers=2,
+    num_heads=2, intermediate_size=64,
+)
+LM = DecoderConfig(
+    family="mpt", vocab_size=VOCAB, hidden_size=32, num_layers=4,
+    num_heads=4, intermediate_size=64, alibi=True,
+    attention_bias=False, ln_no_bias=True,
+)
+CFG = FlamingoConfig(
+    vision=VIS, lm=LM, media_token_id=MEDIA, eoc_token_id=EOC,
+    cross_attn_every_n=1, num_vis_latents=4, perceiver_depth=1,
+    perceiver_heads=2, perceiver_dim_head=8, scan_layers=True,
+)
+
+
+def _setup(rng, b=2, t=6, cfg=CFG):
+    model = Flamingo(cfg=cfg)
+    vision_x = jnp.asarray(
+        rng.normal(size=(b, 1, 1, 16, 16, 3)), jnp.float32
+    )
+    ids = rng.integers(7, VOCAB, size=(b, t))
+    ids[:, 0] = MEDIA
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    return model, params, vision_x, ids, mask
+
+
+def test_make_plan_geometry():
+    plan = make_plan(CFG, (2, 1, 1), max_new_tokens=4)
+    assert plan is not None
+    assert plan.slots_per_layer == 8
+    assert plan.macro == 4 and plan.per_step == 1 and plan.n_steps == 2
+    assert plan.s_real == 5 and plan.s_pad == 8
+    assert plan.m_pad % 16 == 0 and plan.m_pad >= plan.bv * plan.s_pad
+
+    # too few decode steps to carry every ViT layer
+    assert make_plan(CFG, (2, 1, 1), max_new_tokens=1) is None
+    # beams don't carry side work
+    assert make_plan(CFG, (2, 1, 1), 4, num_beams=3) is None
+    # OF-9B-ish: n=4 -> 5 slots/group does not divide 12
+    vis9 = dataclasses.replace(VIS, intermediate_size=4 * 32)
+    cfg9 = dataclasses.replace(CFG, vision=vis9, cross_attn_every_n=4)
+    assert make_plan(cfg9, (2, 1, 1), 32) is None
+    # non-scan model
+    assert make_plan(
+        dataclasses.replace(CFG, scan_layers=False), (2, 1, 1), 4
+    ) is None
+
+
+@pytest.mark.parametrize("lm_layers", [4, 8])
+def test_generate_absorb_token_exact_and_latents(rng, lm_layers):
+    # lm_layers=8 -> side_groups(4) < g(8): exercises the plain-tail
+    # scan that spreads side work across only part of each step
+    cfg = dataclasses.replace(
+        CFG, lm=dataclasses.replace(LM, num_layers=lm_layers)
+    )
+    model, params, vision_x, ids, mask = _setup(rng, cfg=cfg)
+    next_pixels = jnp.asarray(
+        rng.normal(size=(3, 1, 1, 16, 16, 3)), jnp.float32
+    )
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, pad_token_id=0, eos_token_id=-1
+    )
+
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    vit_attention.INTERPRET = True
+    try:
+        out_plain = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        )
+        out_abs, next_lat = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg,
+            next_pixels=next_pixels,
+        )
+        # the plan must actually have engaged (not the serial fallback)
+        assert make_plan(cfg, (3, 1, 1), 4) is not None
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+        vit_attention.INTERPRET = False
+
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_abs))
+    want_lat = model.apply(
+        params, next_pixels, method=Flamingo.embed_vision
+    )
+    np.testing.assert_allclose(
+        np.asarray(next_lat), np.asarray(want_lat), atol=1e-4
+    )
+
+
+def test_generate_absorb_split2(rng):
+    """split=2 tile halving (the production bf16 shape): D/split is a
+    128-lane multiple, so make_plan picks split=2 and every side matmul
+    runs as two column/row parts with concat re-assembly."""
+    vis = VisionConfig(
+        image_size=16, patch_size=8, hidden_size=256, num_layers=2,
+        num_heads=2, intermediate_size=256,
+    )
+    lm = dataclasses.replace(LM, num_layers=6, hidden_size=64, num_heads=1)
+    cfg = dataclasses.replace(CFG, vision=vis, lm=lm)
+    plan = make_plan(cfg, (2, 1, 1), 4)
+    assert plan is not None and plan.split == 2
+    assert plan.slots_per_layer == 12 and plan.macro == 6
+
+    model = Flamingo(cfg=cfg)
+    vision_x = jnp.asarray(
+        rng.normal(size=(2, 1, 1, 16, 16, 3)), jnp.float32
+    )
+    ids = rng.integers(7, VOCAB, size=(2, 6))
+    ids[:, 0] = MEDIA
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    next_pixels = jnp.asarray(
+        rng.normal(size=(2, 1, 1, 16, 16, 3)), jnp.float32
+    )
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, pad_token_id=0, eos_token_id=-1
+    )
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    vit_attention.INTERPRET = True
+    try:
+        out_plain = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        )
+        out_abs, next_lat = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg,
+            next_pixels=next_pixels,
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+        vit_attention.INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_abs))
+    want = model.apply(params, next_pixels, method=Flamingo.embed_vision)
+    np.testing.assert_allclose(
+        np.asarray(next_lat), np.asarray(want), atol=1e-4
+    )
+
+
+def test_generate_absorb_multi_image_next(rng):
+    """next batch with T_img=2 media per row (bv = b*t*f rows)."""
+    model, params, vision_x, ids, mask = _setup(rng)
+    next_pixels = jnp.asarray(
+        rng.normal(size=(2, 2, 1, 16, 16, 3)), jnp.float32
+    )
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, pad_token_id=0, eos_token_id=-1
+    )
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    vit_attention.INTERPRET = True
+    try:
+        out_abs, next_lat = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg,
+            next_pixels=next_pixels,
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+        vit_attention.INTERPRET = False
+    want = model.apply(params, next_pixels, method=Flamingo.embed_vision)
+    assert next_lat.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(next_lat), np.asarray(want), atol=1e-4
+    )
+
+
+def test_generate_next_pixels_serial_fallback(rng):
+    """max_new too small for the schedule: the (tokens, latents)
+    contract holds via the serial fallback and tokens are unchanged."""
+    model, params, vision_x, ids, mask = _setup(rng)
+    next_pixels = jnp.asarray(
+        rng.normal(size=(2, 1, 1, 16, 16, 3)), jnp.float32
+    )
+    gen_cfg = GenerationConfig(
+        max_new_tokens=1, pad_token_id=0, eos_token_id=-1
+    )
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    try:
+        out_plain = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        )
+        out_fb, lat_fb = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg,
+            next_pixels=next_pixels,
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_fb))
+    want = model.apply(params, next_pixels, method=Flamingo.embed_vision)
+    np.testing.assert_allclose(
+        np.asarray(lat_fb), np.asarray(want), atol=1e-6
+    )
