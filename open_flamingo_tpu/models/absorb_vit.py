@@ -82,6 +82,12 @@ class AbsorbPlan:
         return self.split * (4 + self.n_fc1 + self.n_fc2)
 
 
+# split-factor preference order (see make_plan) — module hook so tests
+# and A/B drivers can force split=2 without threading a parameter
+# through flamingo_generate
+PREFER_SPLIT = (1, 2)
+
+
 def _mlp_grid_n(k2: int, int_stream: bool) -> int:
     from ..ops import dense_stream as ds
 
@@ -95,6 +101,7 @@ def make_plan(
     vision_shape,              # (b, t_img, f) of the NEXT batch
     max_new_tokens: int,
     num_beams: int = 1,
+    prefer_split=None,         # default PREFER_SPLIT (test hook)
 ) -> Optional[AbsorbPlan]:
     """None when the geometry can't carry the schedule (caller falls
     back to the serial embed_vision)."""
@@ -118,11 +125,15 @@ def make_plan(
         return None
     spg = n + 1                     # xattn MLP + n decoder MLPs / group
     g = lm.num_layers // n
-    # prefer split=2 (tiles fit under the DMA window); fall back to
-    # whole tiles when the doubled slot count outgrows the group count.
-    # split must also keep D/split a 128-lane multiple for the slices.
+    # split=1 measured BEST on TPU (round 5 A/B): split=2's halved
+    # tiles do fit under the bf16 DMA window, but the extra side_x
+    # streams (3F vs 3 reads of the workspace) + per-slot fill exposure
+    # + concat copies cost MORE than the exposure they save (bf16 B=32
+    # overhead 34.2ms split=1 vs 47.1ms split=2 — BASELINE.md). The
+    # split machinery stays (tests cover it) for streams with larger
+    # windows; selection prefers whole tiles.
     macro = split = None
-    for fs in (2, 1):
+    for fs in (prefer_split or PREFER_SPLIT):
         spl = fs * (4 + n_fc1 + n_fc2)
         if fs > 1 and (d // fs) % 128:
             continue

@@ -74,13 +74,17 @@ def timed(fn, *args, reps=5, w8=False):
     return sorted(times)[len(times) // 2]
 
 
+ARMS = {
+    "bf16_b32": (False, 32),
+    "int4w8a8_b32": (True, 32),
+    "int4w8a8_b8": (True, 8),
+    "bf16_b8": (False, 8),
+}
+sel = [a for a in sys.argv[1:] if a in ARMS] or list(ARMS)
+
 out = {}
-for name, quant, B in (
-    ("bf16_b32", False, 32),
-    ("int4w8a8_b32", True, 32),
-    ("int4w8a8_b8", True, 8),
-    ("bf16_b8", False, 8),
-):
+for name in sel:
+    quant, B = ARMS[name]
     vision_x = jnp.asarray(
         rng.normal(size=(B, 1, 1, 224, 224, 3)) * 0.3, jnp.bfloat16
     )
@@ -143,5 +147,12 @@ for name, quant, B in (
         "latents_rel_vs_embed_vision": lat_rel,
     }
     print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
+    # per-arm cleanup: quantized param copies + latents + results
+    # accumulate across arms and OOM the 16GB chip on arm 4
+    del params, latents, tok_a, lat_next, tok_p
+    del serial, absorb, plain_lat, lat_fn
+    import gc
+
+    gc.collect()
 
 print(json.dumps(out))

@@ -132,7 +132,9 @@ def test_generate_absorb_split2(rng):
     )
     lm = dataclasses.replace(LM, num_layers=6, hidden_size=64, num_heads=1)
     cfg = dataclasses.replace(CFG, vision=vis, lm=lm)
-    plan = make_plan(cfg, (2, 1, 1), 4)
+    # split=2 is opt-in (measured slower at OF-3B bf16 shapes; the
+    # machinery stays for larger-window streams) — force it here
+    plan = make_plan(cfg, (2, 1, 1), 4, prefer_split=(2,))
     assert plan is not None and plan.split == 2
     assert plan.slots_per_layer == 12 and plan.macro == 6
 
@@ -151,9 +153,13 @@ def test_generate_absorb_split2(rng):
     gen_cfg = GenerationConfig(
         max_new_tokens=4, pad_token_id=0, eos_token_id=-1
     )
+    import open_flamingo_tpu.models.absorb_vit as av
+
     dense_stream.FORCE_FUSED = True
     dense_stream.INTERPRET = True
     vit_attention.INTERPRET = True
+    old_pref = av.PREFER_SPLIT
+    av.PREFER_SPLIT = (2,)
     try:
         out_plain = flamingo_generate(
             model, params, vision_x, ids, mask, gen_cfg
@@ -166,6 +172,7 @@ def test_generate_absorb_split2(rng):
         dense_stream.FORCE_FUSED = False
         dense_stream.INTERPRET = False
         vit_attention.INTERPRET = False
+        av.PREFER_SPLIT = old_pref
     np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_abs))
     want = model.apply(params, next_pixels, method=Flamingo.embed_vision)
     np.testing.assert_allclose(

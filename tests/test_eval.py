@@ -356,3 +356,49 @@ def test_eval_cli_flags_reach_eval_model():
     d = build_parser().parse_args([])
     assert not d.int8_kv and not d.cache_demo_latents
     assert not d.int8_resident
+
+
+def test_evaluate_captioning_multiprocess_gather_merge(
+    eval_setup, tmp_path, rng
+):
+    """Multi-host prediction merge (reference all_gather_object,
+    evaluate.py:862 -> parallel.distributed.process_allgather): a
+    gather returning SEVERAL overlapping per-process prediction dicts
+    must dedupe by image_id and score identically to the single-host
+    run; non-zero ranks return None. Also pins process_allgather's
+    single-process contract ([obj])."""
+    from open_flamingo_tpu.eval.eval_datasets import CaptionDataset
+    from open_flamingo_tpu.parallel.distributed import process_allgather
+
+    em, _ = eval_setup
+    img_dir, ann = _make_caption_data(tmp_path, rng)
+    train = CaptionDataset(img_dir, ann, True, "coco", img_dir)
+    test = CaptionDataset(img_dir, ann, False, "coco", img_dir)
+    common = dict(
+        num_shots=2, batch_size=2, num_samples=4, query_set_size=8,
+        max_generation_length=4, num_beams=1,
+    )
+    base = evaluate_captioning(em, train, test, **common)
+
+    calls = []
+
+    def fake_gather(preds):
+        # simulate 2 hosts: this host's shard + an overlapping copy
+        # (duplicate ids must collapse, not double-count)
+        calls.append(len(preds))
+        items = sorted(preds.items())
+        half = {k: v for k, v in items[: max(1, len(items) // 2)]}
+        return [preds, half]
+
+    merged = evaluate_captioning(
+        em, train, test, gather=fake_gather, **common
+    )
+    assert calls, "gather was never invoked"
+    np.testing.assert_allclose(merged, base, atol=1e-9)
+
+    other_rank = evaluate_captioning(
+        em, train, test, gather=fake_gather, rank=1, **common
+    )
+    assert other_rank is None
+
+    assert process_allgather({"a": 1}) == [{"a": 1}]
