@@ -487,15 +487,11 @@ def flamingo_generate(
         from .models.absorb_vit import (
             finish_tokens,
             patch_embed_flat,
-            split_steps,
-            stack_vit_params,
+            side_step_tree,
         )
 
         venc = params["params"]["vision_encoder"]
-        vstack = stack_vit_params(
-            venc, absorb_plan.n_vit_layers, model.dtype
-        )
-        vp_steps = split_steps(vstack, absorb_plan)
+        vp_steps = side_step_tree(params, absorb_plan, model.dtype)
         nb, nt, nf = next_pixels.shape[:3]
         xw0 = patch_embed_flat(
             model.cfg.vision, venc,

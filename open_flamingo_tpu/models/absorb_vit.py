@@ -184,6 +184,12 @@ def make_plan(
     )
 
 
+# int8 (W8A8) side dots when the ViT qparams side-car is bound —
+# measured lever for small-window (int4) carrier streams; module flag
+# so A/B drivers can force the bf16 dot.
+SIDE_INT8 = True
+
+
 def stack_vit_params(venc: Dict[str, Any], num_layers: int, dtype):
     """blocks_0..L-1 -> one tree with a leading (L,) axis on every leaf
     (the absorb scan's xs). Weights cast to the compute dtype."""
@@ -191,6 +197,29 @@ def stack_vit_params(venc: Dict[str, Any], num_layers: int, dtype):
     return jax.tree.map(
         lambda *xs: jnp.stack([x.astype(dtype) for x in xs]), *blocks
     )
+
+
+def stack_vit_qparams(vq: Dict[str, Any], num_layers: int):
+    """qparams blocks (kernel_q int8 / kernel_s f32) stacked like
+    stack_vit_params — dtypes preserved."""
+    blocks = [vq[f"blocks_{i}"] for i in range(num_layers)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def side_step_tree(params, plan: AbsorbPlan, dtype):
+    """Build the outer-scan xs for the absorb phase from full model
+    variables: {"p": stacked ViT params, "q": stacked qparams} (q only
+    when quantize_prefill_params covered the ViT and SIDE_INT8)."""
+    venc = params["params"]["vision_encoder"]
+    tree = {"p": split_steps(
+        stack_vit_params(venc, plan.n_vit_layers, dtype), plan
+    )}
+    vq = params.get("qparams", {}).get("vision_encoder")
+    if vq is not None and SIDE_INT8:
+        tree["q"] = split_steps(
+            stack_vit_qparams(vq, plan.n_vit_layers), plan
+        )
+    return tree
 
 
 def split_steps(stacked, plan: AbsorbPlan):
@@ -275,9 +304,16 @@ class VitSideFeed:
       [.., end)          fc2 row slices (quick_gelu, residual chain)
     """
 
-    def __init__(self, vp: Dict[str, Any], xw: jax.Array,
+    def __init__(self, vp, xw: jax.Array,
                  plan: AbsorbPlan, interpret: Optional[bool] = None):
-        self.vp = vp
+        # vp: ViT layer params tree, or (params, qparams|None) — the
+        # qparams side-car (quantize_prefill_params) turns the side
+        # dots int8 (W8A8): the win when the tile is MXU-bound because
+        # the carrying stream's DMA window is small (int4 decode).
+        if isinstance(vp, tuple):
+            self.vp, self.vq = vp
+        else:
+            self.vp, self.vq = vp, None
         self.xw = xw
         self.plan = plan
         self.interpret = interpret
@@ -294,6 +330,24 @@ class VitSideFeed:
 
     def _rows(self, w, i, width):
         return jax.lax.slice_in_dim(w, i * width, (i + 1) * width, axis=0)
+
+    def _w(self, name, i, width, axis):
+        """side_w (+ side_w_scale when the int8 side-car covers name).
+        axis=1: column slice (scales slice along with the out-channels);
+        axis=0: row slice (out-channels intact, scales whole)."""
+        q = (self.vq or {}).get(name)
+        if q is not None and "kernel_q" in q:
+            wq = (self._cols if axis == 1 else self._rows)(
+                q["kernel_q"], i, width
+            )
+            s = q["kernel_s"]
+            if axis == 1:
+                s = self._rows(s, i, width)   # (N,) sliced with columns
+            return dict(side_w=wq, side_w_scale=s)
+        k = self.vp[name]["kernel"]
+        return dict(side_w=(self._cols if axis == 1 else self._rows)(
+            k, i, width
+        ))
 
     def _glue(self):
         from ..ops.vit_attention import flat_vit_attention
@@ -323,7 +377,7 @@ class VitSideFeed:
             name = ("q_proj", "k_proj", "v_proj")[s // F]
             i = s % F
             return dict(
-                side_x=self.xw, side_w=self._cols(vp[name]["kernel"], i, w),
+                side_x=self.xw, **self._w(name, i, w, axis=1),
                 side_ln=(vp["layer_norm1"]["scale"],
                          vp["layer_norm1"]["bias"]),
                 side_b=self._rows(vp[name]["bias"], i, w), **kw,
@@ -334,7 +388,7 @@ class VitSideFeed:
             i = s - 3 * F
             return dict(
                 side_x=self.att,
-                side_w=self._cols(vp["out_proj"]["kernel"], i, w),
+                **self._w("out_proj", i, w, axis=1),
                 side_b=self._rows(vp["out_proj"]["bias"], i, w),
                 side_residual=self._cols(self.xw, i, w), **kw,
             )
@@ -342,14 +396,14 @@ class VitSideFeed:
             i = s - 4 * F
             return dict(
                 side_x=self.x2,
-                side_w=self._cols(vp["fc1"]["kernel"], i, w),
+                **self._w("fc1", i, w, axis=1),
                 side_ln=(vp["layer_norm2"]["scale"],
                          vp["layer_norm2"]["bias"]),
                 side_b=self._rows(vp["fc1"]["bias"], i, w), **kw,
             )
         i = s - (4 + p.n_fc1) * F
         return dict(
-            side_x=self.h[i], side_w=self._rows(vp["fc2"]["kernel"], i, w),
+            side_x=self.h[i], **self._w("fc2", i, w, axis=0),
             side_act=p.act,
             side_b=vp["fc2"]["bias"] if i == 0 else None,
             side_residual=self.acc, **kw,

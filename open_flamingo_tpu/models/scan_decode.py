@@ -426,6 +426,10 @@ def scan_fused_decode(
     def body_side(carry, xs):
         x2, kvs, xw = carry
         li_vec, vp = xs
+        # vp: {"p": layer params, "q": optional int8 side-car} (the
+        # absorb_vit.side_step_tree layout), or a bare params tree
+        if isinstance(vp, dict) and "p" in vp:
+            vp = (vp["p"], vp.get("q"))
         feed = VitSideFeed(vp, xw, plan, interpret=interp)
         new_kvs = list(kvs)
         for j in range(plan.macro):

@@ -405,7 +405,7 @@ def _mlp_kernel(
     block_k2, stacked_w=False,
     has_side=False, has_side_ln=False, has_side_ln_bias=False,
     side_act=None, has_side_b=False, has_side_res=False,
-    side_eps=1e-5,
+    side_eps=1e-5, has_side_ws=False,
 ):
     if stacked_w:
         _layer_ref, x_ref, w1_ref, w2_ref, *rest = args
@@ -436,6 +436,8 @@ def _mlp_kernel(
     i += has_side
     sw_ref = rest[i] if has_side else None
     i += has_side
+    sws_ref = rest[i] if has_side_ws else None
+    i += has_side_ws
     sls_ref = rest[i] if has_side_ln else None
     i += has_side_ln
     slb_ref = rest[i] if has_side_ln_bias else None
@@ -465,11 +467,28 @@ def _mlp_kernel(
         else:
             sh = sx.astype(jnp.float32)
         sh = _act_f32(sh, side_act)
-        so = jax.lax.dot_general(
-            sh.astype(sx.dtype), sw_ref[...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if has_side_ws:
+            # W8A8 side dot: the side tile is MXU-bound when it exceeds
+            # the launch's DMA window (the int4-stream regime) — int8 x
+            # int8 -> int32 runs ~1.45x the bf16 MXU rate (w8a8.py).
+            # Dynamic per-row activation quant in-register; the weight
+            # arrives pre-quantized with per-out-channel scales.
+            amax = jnp.max(jnp.abs(sh), axis=-1, keepdims=True)
+            s_act = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+            sq = jnp.clip(jnp.round(sh / s_act), -127, 127).astype(
+                jnp.int8
+            )
+            so = jax.lax.dot_general(
+                sq, sw_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * s_act * sws_ref[0].astype(jnp.float32)
+        else:
+            so = jax.lax.dot_general(
+                sh.astype(sx.dtype), sw_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if has_side_b:
             so = so + sb_ref[0].astype(jnp.float32)
         if has_side_res:
@@ -575,6 +594,7 @@ def fused_mlp(
     block_k2: Optional[int] = None,
     side_x: Optional[jax.Array] = None,        # (SM, SK) streamed tile in
     side_w: Optional[jax.Array] = None,        # (SK, SN) resident weight
+    side_w_scale: Optional[jax.Array] = None,  # (SN,) int8 side_w scales
     side_ln: Optional[tuple] = None,           # (scale(SK,), bias|None)
     side_eps: float = 1e-5,                    # side-LN eps (CLIP: 1e-5)
     side_act: Optional[str] = None,            # pre-act on side_x rows
@@ -714,6 +734,14 @@ def fused_mlp(
             pl.BlockSpec((smb, sk), umap(lambda i: (i, 0))),
             pl.BlockSpec((sk, sn), umap(lambda i: (0, 0))),
         ])
+        if side_w_scale is not None:
+            assert side_w.dtype == jnp.int8, side_w.dtype
+            operands.append(
+                jnp.asarray(side_w_scale, jnp.float32).reshape(1, sn)
+            )
+            in_specs.append(
+                pl.BlockSpec((1, sn), umap(lambda i: (0, 0)))
+            )
         if side_ln is not None:
             operands.append(jnp.asarray(side_ln[0]).reshape(1, sk))
             in_specs.append(
@@ -759,6 +787,7 @@ def fused_mlp(
         has_side_b=has_side and side_b is not None,
         has_side_res=has_side and side_residual is not None,
         side_eps=side_eps,
+        has_side_ws=has_side and side_w_scale is not None,
     )
     from jax.experimental.pallas import tpu as pltpu
 

@@ -61,7 +61,9 @@ params_bf16 = jax.jit(
 )()
 
 
-def timed(fn, *args, reps=5, w8=False):
+def timed(fn, *args, reps=9, w8=False):
+    """median of 9 — the overhead numbers are differences of ~350ms
+    arms, so per-arm noise must stay well under the ~10-50ms deltas."""
     if w8:
         w8a8.ENABLED = True
     np.asarray(jax.tree.leaves(fn(*args))[0])

@@ -236,3 +236,48 @@ def test_generate_next_pixels_serial_fallback(rng):
     np.testing.assert_allclose(
         np.asarray(lat_fb), np.asarray(want), atol=1e-6
     )
+
+
+def test_generate_absorb_int8_side(rng):
+    """qparams bound -> the side schedule runs W8A8 dots (int8 weights
+    + per-out-channel scales, per-row activation quant in-kernel).
+    Tokens stay exact; latents carry bounded int8 grid error."""
+    from open_flamingo_tpu.quantize import quantize_prefill_params
+
+    model, params, vision_x, ids, mask = _setup(rng)
+    qparams = quantize_prefill_params(params)
+    assert "vision_encoder" in qparams.get("qparams", {}), (
+        "ViT blocks missing from the qparams side-car"
+    )
+    next_pixels = jnp.asarray(
+        rng.normal(size=(2, 1, 1, 16, 16, 3)), jnp.float32
+    )
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, pad_token_id=0, eos_token_id=-1
+    )
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    vit_attention.INTERPRET = True
+    try:
+        out_plain = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        )
+        out_abs, next_lat = flamingo_generate(
+            model, qparams, vision_x, ids, mask, gen_cfg,
+            next_pixels=next_pixels,
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+        vit_attention.INTERPRET = False
+    want = np.asarray(
+        model.apply(params, next_pixels, method=Flamingo.embed_vision),
+        np.float32,
+    )
+    got = np.asarray(next_lat, np.float32)
+    scale = max(np.abs(want).max(), 1e-6)
+    rel = np.abs(got - want).max() / scale
+    # int8 grid error, NOT schedule error: bounded but not tiny
+    assert rel < 0.1, rel
+    # and not trivially identical (the int8 path must have engaged)
+    assert rel > 1e-6, "int8 side dots did not engage"

@@ -585,3 +585,47 @@ def test_generate_fused_decode_llama_gqa(rng):
 
     np.testing.assert_array_equal(np.asarray(out_std), np.asarray(out_fused))
     np.testing.assert_array_equal(np.asarray(out_std), np.asarray(out_scan))
+
+
+def test_fused_mlp_side_stream_int8(data):
+    """W8A8 side dot: int8 side_w + per-out-channel scales + dynamic
+    per-row activation quant in-kernel must equal the w8a8.py recipe
+    exactly (same rounding points), with LN/act fused before the quant
+    and bias/residual applied after dequant."""
+    import jax.numpy as jnp
+
+    from open_flamingo_tpu.ops.w8a8 import quantize_activations
+    from open_flamingo_tpu.quantize import quantize_weight
+
+    x = data(B, K)
+    w1, w2 = data(K, K2, scale=0.05), data(K2, N, scale=0.05)
+    ln_s = data(K, scale=1.0)
+    sm, sk, sn = 32, 128, 192
+    sx, sw = data(sm, sk), data(sk, sn, scale=0.05)
+    sls, slb = data(sk, scale=1.0), data(sk, scale=0.1)
+    sb, sres = data(sn, scale=0.1), data(sm, sn)
+    swq, sws = quantize_weight(sw, axis=0)
+
+    want_main = reference_mlp(x, w1, w2, ln_scale=ln_s, act="gelu")
+    got_main, got_side = fused_mlp(
+        x, w1, w2, ln_scale=ln_s, act="gelu",
+        block_k2=128, interpret=True,
+        side_x=sx, side_w=swq, side_w_scale=sws,
+        side_ln=(sls, slb), side_b=sb, side_residual=sres,
+    )
+    np.testing.assert_allclose(got_main, want_main, atol=3e-5)
+
+    # reference: f32 LN -> dynamic per-row quant -> int8 dot -> dequant
+    sh = np.asarray(sx, np.float64)
+    mu = sh.mean(-1, keepdims=True)
+    var = ((sh - mu) ** 2).mean(-1, keepdims=True)
+    sh = (sh - mu) / np.sqrt(var + 1e-5)
+    sh = sh * np.asarray(sls) + np.asarray(slb)
+    xq, xs = quantize_activations(jnp.asarray(sh, jnp.float32))
+    want = (
+        np.asarray(xq, np.int32) @ np.asarray(swq, np.int32)
+    ).astype(np.float64) * np.asarray(xs, np.float64) * np.asarray(
+        sws, np.float64
+    )
+    want = want + np.asarray(sb, np.float64) + np.asarray(sres, np.float64)
+    np.testing.assert_allclose(got_side, want, atol=2e-4, rtol=1e-5)
