@@ -31,6 +31,10 @@ MAX_N = 4
 _PUNCTUATIONS = {
     "''", "'", "``", "`", "-lrb-", "-rrb-", "-lcb-", "-rcb-",
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
+    # PTBTokenizer NORMALIZES brackets to -LRB-/-RRB-/-LCB-/-RCB-
+    # before pycocoevalcap drops them — raw brackets must go too
+    # (round-5 fixture cross-check caught "(" surviving)
+    "(", ")", "[", "]", "{", "}",
 }
 
 # punctuation the PTB tokenizer separates from words (keeps word-internal
@@ -43,6 +47,13 @@ def tokenize(s: str) -> List[str]:
     s = s.replace("...", " ... ")
     s = re.sub(r"--+", " -- ", s)
     s = _SEP_PUNCT.sub(r" \1 ", s)
+    # quote marks separate from words BEFORE clitic handling (PTB emits
+    # ``/''/`/' tokens, all on the drop list); word-internal
+    # apostrophes (clitics, o'clock) stay attached for the clitic rules
+    s = re.sub(r"(``|`)", r" \1 ", s)
+    s = re.sub(r"''", r" '' ", s)
+    s = re.sub(r"(^|\s)'(?=[a-z0-9])", r"\1 ' ", s)
+    s = re.sub(r"([a-z0-9])'(\s|$)", r"\1 ' \2", s)
     # PTB clitics: n't and 's/'m/'d/'ll/'re/'ve split off their host word
     s = re.sub(r"([a-z])n't\b", r"\1 n't", s)
     s = re.sub(r"([a-z])'(s|m|d|ll|re|ve)\b", r"\1 '\2", s)

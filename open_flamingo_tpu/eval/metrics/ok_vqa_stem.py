@@ -300,14 +300,24 @@ _E_VERBS = {
 
 _VOWELS = set("aeiou")
 
+# -ing words that ARE verb lemmas themselves: WordNet morphy checks the
+# base-form lexicon BEFORE applying suffix substitutions, so
+# lemmatize("spring", "v") == "spring" — stripping would be wrong
+# (round-5 corpus growth caught "spring" -> "spr").
+_ING_BASE_VERBS = {
+    "spring", "string", "bring", "swing", "sting", "cling", "fling",
+    "wring", "sling",
+}
+
 
 def _lemmatize_ing(word: str) -> str:
     """morphy verb substitutions ing->'' and ing->'e', choosing the
     candidate a WordNet lexicon lookup would accept."""
     if len(word) <= 4 or not word.endswith("ing"):
         return word
-    if word in _ING_NOUNS:
-        # no verb lemma in WordNet -> official pipeline keeps the word
+    if word in _ING_NOUNS or word in _ING_BASE_VERBS:
+        # no verb lemma in WordNet (nouns) / the word is already the
+        # lemma -> the official pipeline keeps the word
         return word
     base = word[:-3]
     if base + "e" in _E_VERBS:

@@ -310,7 +310,7 @@ def _xattn_decode(
     heads = inner // dim_head
     w_1, s_1 = _w(fp, fqp, "fc1", dtype)
     w_2, s_2 = _w(fp, fqp, "fc2", dtype)
-    if not fused_layer.DISABLE and not mkv.int8 and side_kw is None:
+    if fused_layer.use_for_xattn() and not mkv.int8 and side_kw is None:
         return fused_layer.fused_layer_decode(
             x2, ap["norm"]["scale"], ap["norm"]["bias"],
             w_q, w_o, mkv.k, mkv.v, mask2d,

@@ -340,7 +340,7 @@ class GatedCrossAttentionBlock(nn.Module):
 
             w_1, s_1 = ff.fc1.stream_weight()
             w_2, s_2 = ff.fc2.stream_weight()
-            if not fused_layer.DISABLE:
+            if fused_layer.use_for_xattn():
                 # decode: the WHOLE gated block in one launch (masked
                 # attend over cached media K/V + out-proj + attn gate +
                 # residual, then the FF with its own gate) — the MLP

@@ -58,6 +58,19 @@ NEG_INF = -1.0e30
 # tested library code (tests/test_fused_layer.py) behind this hook.
 DISABLE = True
 
+# Round-5 second look (VERDICT r4 #7): the round-3 A/B merged BOTH the
+# decoder layer AND the gated-xattn layer. The decoder merge is what
+# lost (two big streams + phase boundary); the xattn ATTENTION TAIL is
+# a different case — a ~10MB launch running at ~260GB/s (decode-trace),
+# i.e. mostly per-launch fixed cost, which folding into the 67MB ff
+# stream amortizes. XATTN_ONLY enables the single-launch path for the
+# gated-xattn layer alone, decoder blocks stay two-launch.
+XATTN_ONLY = False
+
+
+def use_for_xattn() -> bool:
+    return XATTN_ONLY or not DISABLE
+
 
 def _act_f32(h, act):
     from .dense_stream import _act_f32 as impl

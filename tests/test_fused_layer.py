@@ -141,3 +141,64 @@ def test_fused_layer_int8_stacked(rng):
         np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
         np.testing.assert_allclose(kg[li], kw_, atol=2e-4)
         np.testing.assert_allclose(vg[li], vw_, atol=2e-4)
+
+
+def test_xattn_only_merge_token_equality(rng):
+    """XATTN_ONLY (round 5): gated-xattn runs the single-launch fused
+    layer while decoder blocks stay two-launch — token equality on a
+    tiny random scan model (VERDICT r4 #7 merge study)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_flamingo_tpu.generation import (
+        GenerationConfig,
+        flamingo_generate,
+    )
+    from open_flamingo_tpu.models.decoders.common import DecoderConfig
+    from open_flamingo_tpu.models.flamingo import Flamingo, FlamingoConfig
+    from open_flamingo_tpu.models.vit import VisionConfig
+    from open_flamingo_tpu.ops import dense_stream, fused_layer
+
+    VOCAB, MEDIA, EOC = 128, 3, 4
+    vis = VisionConfig(
+        image_size=14, patch_size=7, hidden_size=24, num_layers=1,
+        num_heads=2, intermediate_size=32,
+    )
+    lm = DecoderConfig(
+        family="mpt", vocab_size=VOCAB, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=64, alibi=True,
+        attention_bias=False, ln_no_bias=True,
+    )
+    cfg = FlamingoConfig(
+        vision=vis, lm=lm, media_token_id=MEDIA, eoc_token_id=EOC,
+        cross_attn_every_n=1, num_vis_latents=4, perceiver_depth=1,
+        perceiver_heads=2, perceiver_dim_head=8, scan_layers=True,
+    )
+    model = Flamingo(cfg=cfg)
+    b, t = 2, 6
+    vision_x = jnp.asarray(rng.normal(size=(b, 1, 1, 14, 14, 3)), jnp.float32)
+    ids = rng.integers(7, VOCAB, size=(b, t))
+    ids[:, 0] = MEDIA
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=0,
+                               eos_token_id=-1)
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    fused_layer.INTERPRET = True
+    try:
+        base = flamingo_generate(model, params, vision_x, ids, mask, gen_cfg)
+        fused_layer.XATTN_ONLY = True
+        merged = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        )
+    finally:
+        fused_layer.XATTN_ONLY = False
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+        fused_layer.INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(merged))
