@@ -152,6 +152,14 @@ def main():
         "vp_s": round(vision_prefill_s, 4),
         "vp_share": round(vision_prefill_s / dt32, 3),
     }
+    try:
+        detail["b32_bf16_pipe"] = bench_absorb_pipe(
+            scan_model, cfg, T_TXT, NEW
+        )
+        _note(f"b32 bf16 pipe(absorb): {detail['b32_bf16_pipe']}")
+    except Exception as e:
+        detail["b32_bf16_pipe"] = {"err": repr(e)[:120]}
+
     for key, fn in (
         ("fewshot", bench_fewshot),
         ("of4b", bench_of4b),
@@ -175,6 +183,52 @@ def main():
             }
         )
     )
+
+
+def bench_absorb_pipe(scan_model, cfg, t_txt, new):
+    """Cross-batch pipelined bf16 serving: batch i's decode loop carries
+    batch i+1's ViT as absorbed side tiles (generation.py next_pixels=,
+    models/absorb_vit.py). The loop feeds each call's returned latents
+    into the next call — the true steady-state operating mode. Measured
+    +4.7% serial over the serial bf16 path (BASELINE round-5 study);
+    enabled for bf16 streams only (int4 measured break-even)."""
+    import numpy as np
+
+    from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
+    from open_flamingo_tpu.models.flamingo import Flamingo
+
+    B = 32
+    m = scan_model
+    vision_x = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
+    ids = jnp.zeros((B, t_txt), jnp.int32).at[:, 0].set(cfg.media_token_id)
+    mask = jnp.ones((B, t_txt), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0), vision_x, ids, mask)
+    )
+    params = jax.jit(
+        lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
+    )()
+    gen_cfg = GenerationConfig(
+        max_new_tokens=new, pad_token_id=1, eos_token_id=cfg.eoc_token_id
+    )
+    lat = jax.jit(
+        lambda p, vx: m.apply(p, vx, method=Flamingo.embed_vision)
+    )(params, vision_x)
+    jitted = jax.jit(
+        lambda p, lt, vx, i, mk: flamingo_generate(
+            m, p, None, i, mk, gen_cfg, media_latents=lt, next_pixels=vx
+        )
+    )
+    toks, lat = jitted(params, lat, vision_x, ids, mask)
+    np.asarray(toks)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        toks, lat = jitted(params, lat, vision_x, ids, mask)
+        np.asarray(toks)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    return {"b": B, "tps": round(B * new / dt, 1)}
 
 
 def bench_fewshot():

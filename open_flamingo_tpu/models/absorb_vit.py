@@ -132,14 +132,20 @@ def make_plan(
     # overhead 34.2ms split=1 vs 47.1ms split=2 — BASELINE.md). The
     # split machinery stays (tests cover it) for streams with larger
     # windows; selection prefers whole tiles.
+    #
+    # macro = ceil(spl / spg): when slots_per_layer doesn't divide the
+    # group's launch count (OF-9B: n=4 -> 5 MLP launches/group vs 12
+    # slots), the macro body's trailing launches simply carry no side
+    # tile — static schedule either way.
     macro = split = None
     for fs in (prefer_split or PREFER_SPLIT):
         spl = fs * (4 + n_fc1 + n_fc2)
         if fs > 1 and (d // fs) % 128:
             continue
-        if spl % spg or (spl // spg) > g or g % (spl // spg):
+        cand_macro = -(-spl // spg)
+        if cand_macro > g:
             continue
-        macro, split = spl // spg, fs
+        macro, split = cand_macro, fs
         break
     if macro is None:
         return None

@@ -432,6 +432,17 @@ def scan_fused_decode(
             vp = (vp["p"], vp.get("q"))
         feed = VitSideFeed(vp, xw, plan, interpret=interp)
         new_kvs = list(kvs)
+        spl = plan.slots_per_layer
+
+        def next_side():
+            # macro = ceil(spl / launches-per-group): trailing launch
+            # positions past the layer's slot count carry no side tile
+            return feed.kwargs() if feed.slot < spl else None
+
+        def take(so):
+            if so is not None:
+                feed.take(so)
+
         for j in range(plan.macro):
             li = li_vec[j]
             for k in range(n):
@@ -439,15 +450,15 @@ def scan_fused_decode(
                     x2, so = _xattn_decode(
                         x2, mkv, mask2d, li,
                         groups["xattn"], (qgroups or {}).get("xattn"),
-                        dtype, side_kw=feed.kwargs(),
+                        dtype, side_kw=next_side(),
                     )
-                    feed.take(so)
+                    take(so)
                 x2, new_kvs[k], so = _block_decode(
                     cfg, x2, attn, new_kvs[k], li,
                     groups[f"block_{k}"], (qgroups or {}).get(f"block_{k}"),
-                    dtype, side_kw=feed.kwargs(),
+                    dtype, side_kw=next_side(),
                 )
-                feed.take(so)
+                take(so)
         return (x2, tuple(new_kvs), feed.result()), None
 
     (x2, kvs, xw), _ = jax.lax.scan(

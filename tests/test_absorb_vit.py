@@ -70,10 +70,18 @@ def test_make_plan_geometry():
     assert make_plan(CFG, (2, 1, 1), max_new_tokens=1) is None
     # beams don't carry side work
     assert make_plan(CFG, (2, 1, 1), 4, num_beams=3) is None
-    # OF-9B-ish: n=4 -> 5 slots/group does not divide 12
+    # n=4 (OF-9B's interleave): 5 launches/group, 12 slots -> macro=3
+    # with ceil + pad slots; needs g >= 3 groups
     vis9 = dataclasses.replace(VIS, intermediate_size=4 * 32)
     cfg9 = dataclasses.replace(CFG, vision=vis9, cross_attn_every_n=4)
-    assert make_plan(cfg9, (2, 1, 1), 32) is None
+    assert make_plan(cfg9, (2, 1, 1), 32) is None   # g = 4/4 = 1 < macro
+    lm20 = dataclasses.replace(LM, num_layers=20)
+    cfg9b = dataclasses.replace(
+        CFG, vision=vis9, lm=lm20, cross_attn_every_n=4
+    )
+    plan9 = make_plan(cfg9b, (2, 1, 1), 32)
+    assert plan9 is not None and plan9.macro == 3
+    assert plan9.macro * (4 + 1) > plan9.slots_per_layer  # pad slots
     # non-scan model
     assert make_plan(
         dataclasses.replace(CFG, scan_layers=False), (2, 1, 1), 4
@@ -173,6 +181,44 @@ def test_generate_absorb_split2(rng):
         dense_stream.INTERPRET = False
         vit_attention.INTERPRET = False
         av.PREFER_SPLIT = old_pref
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_abs))
+    want = model.apply(params, next_pixels, method=Flamingo.embed_vision)
+    np.testing.assert_allclose(
+        np.asarray(next_lat), np.asarray(want), atol=1e-4
+    )
+
+
+def test_generate_absorb_pad_slots(rng):
+    """n=2 -> 3 MLP launches per group vs 8 slots/layer: macro=ceil(8/3)
+    =3 leaves one pad launch per macro body carrying no side tile —
+    the OF-9B-interleave-style schedule. Token exactness + latents."""
+    lm = dataclasses.replace(LM, num_layers=6)
+    cfg = dataclasses.replace(CFG, lm=lm, cross_attn_every_n=2)
+    plan = make_plan(cfg, (2, 1, 1), 4)
+    assert plan is not None and plan.macro == 3
+    assert plan.macro * 3 == plan.slots_per_layer + 1   # 1 pad slot
+    model, params, vision_x, ids, mask = _setup(rng, cfg=cfg)
+    next_pixels = jnp.asarray(
+        rng.normal(size=(2, 1, 1, 16, 16, 3)), jnp.float32
+    )
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, pad_token_id=0, eos_token_id=-1
+    )
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    vit_attention.INTERPRET = True
+    try:
+        out_plain = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        )
+        out_abs, next_lat = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg,
+            next_pixels=next_pixels,
+        )
+    finally:
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+        vit_attention.INTERPRET = False
     np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_abs))
     want = model.apply(params, next_pixels, method=Flamingo.embed_vision)
     np.testing.assert_allclose(
