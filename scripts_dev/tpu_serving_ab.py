@@ -102,12 +102,15 @@ dt_eng, epochs = run_engine()
 # pipelined chunk dispatch (round 4): same engine, same graphs — only
 # the host harvest schedule changes, so mutating eng.depth is safe
 depth_results = {}
+depth_latency = {}
 for depth in (1, 2, 4):
     eng.depth = depth
+    eng.latencies = {}
     dt_d, _ = run_engine()
     depth_results[depth] = round(useful / dt_d, 1)
+    depth_latency[depth] = eng.latency_stats()
     print(f"pipeline_depth={depth}: {depth_results[depth]} useful tok/s "
-          f"({dt_d:.2f}s)", flush=True)
+          f"({dt_d:.2f}s) latency={depth_latency[depth]}", flush=True)
 eng.depth = 0
 
 # --- static batching ---------------------------------------------------------
@@ -156,6 +159,9 @@ out = {
     },
     "engine_pipelined": {
         f"depth_{d}": v for d, v in depth_results.items()
+    },
+    "latency_by_depth": {
+        f"depth_{d}": v for d, v in depth_latency.items()
     },
     "static": {
         "wall_s": round(dt_static, 2),
