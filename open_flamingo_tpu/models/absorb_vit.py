@@ -65,6 +65,12 @@ class AbsorbPlan:
     # ~100us bf16 MLP window — exposed; halves fit). Costs one extra
     # stream of the proj/fc1 side_x per extra part + concat copies.
     split: int = 1
+    # attention-block launches (mpt self-attn + gated-xattn attend)
+    # also carry tiles: they stream the whole KV cache, so their
+    # per-grid-step DMA windows are the largest in a quantized decode
+    # loop — spreading the same tiles over ~2x the launches halves the
+    # per-window side-MXU load (ATTN_CARRIERS knob; round-5 A/B).
+    attn_carriers: bool = False
 
     @property
     def side_groups(self) -> int:
@@ -87,6 +93,10 @@ class AbsorbPlan:
 # through flamingo_generate
 PREFER_SPLIT = (1, 2)
 
+# attention-block launches join the carrier set (AbsorbPlan field doc);
+# module hook for the on-TPU A/B (scripts_dev/tpu_absorb_ab.py)
+ATTN_CARRIERS = False
+
 
 def _mlp_grid_n(k2: int, int_stream: bool) -> int:
     from ..ops import dense_stream as ds
@@ -94,6 +104,17 @@ def _mlp_grid_n(k2: int, int_stream: bool) -> int:
     bk = ds.BLOCK_K2 if int_stream else ds.BLOCK_K2_BF16
     bk = min(bk, k2)
     return -(-k2 // bk)
+
+
+def _attn_grid_n(h: int) -> int:
+    """attn_block_decode's head-group grid size for `h` heads (the
+    stacked/scan path's HEAD_BLOCK, halved until it divides h)."""
+    from ..ops.decode_layer import HEAD_BLOCK
+
+    g = HEAD_BLOCK
+    while h % g:
+        g //= 2
+    return h // g
 
 
 def make_plan(
@@ -124,6 +145,12 @@ def make_plan(
     if lm.num_layers % n:
         return None
     spg = n + 1                     # xattn MLP + n decoder MLPs / group
+    attn_carriers = ATTN_CARRIERS
+    if attn_carriers:
+        # + the gated-xattn attend launch; mpt's fused attention block
+        # is the only family whose self-attn runs through
+        # attn_block_decode (the others' attend_out has no side support)
+        spg += 1 + (n if lm.family == "mpt" else 0)
     g = lm.num_layers // n
     # split=1 measured BEST on TPU (round 5 A/B): split=2's halved
     # tiles do fit under the bf16 DMA window, but the extra side_x
@@ -176,10 +203,17 @@ def make_plan(
     # row quantum over BOTH weight-stream dtypes' grids (bf16 vs int
     # blocks differ — dense_stream dtype-aware block_k2) so one plan
     # serves quantized and unquantized params alike
-    quantum = 16 * math.lcm(
+    grids = [
         _mlp_grid_n(k2_dec, True), _mlp_grid_n(k2_dec, False),
         _mlp_grid_n(k2_x, True), _mlp_grid_n(k2_x, False),
-    )
+    ]
+    if attn_carriers:
+        # xattn attend always rides attn_block (8 heads, dim_head 64 —
+        # the GatedCrossAttentionBlock defaults); mpt self-attn too
+        grids.append(_attn_grid_n(8))
+        if lm.family == "mpt":
+            grids.append(_attn_grid_n(lm.num_heads))
+    quantum = 16 * math.lcm(*grids)
     m_pad = -(-m_f // quantum) * quantum
     return AbsorbPlan(
         b=b, t=t, f=f, s_real=s_real, s_pad=s_pad, m_f=m_f, m_pad=m_pad,
@@ -187,6 +221,7 @@ def make_plan(
         act="quick_gelu" if v.hidden_act == "quick_gelu" else "gelu",
         eps=v.layer_norm_eps, macro=macro, per_step=per_step,
         n_steps=n_steps, n_vit_layers=v.num_layers, split=split,
+        attn_carriers=attn_carriers,
     )
 
 

@@ -68,22 +68,61 @@ def _unpack_kv(res, int8: bool):
     return y, LayerKV(k=kc, v=vc)
 
 
-def _mlp(side_kw, *args, **kw):
-    """fused_mlp with optional absorbed-ViT side-slot kwargs
-    (models/absorb_vit.py). Returns (y, side_out|None)."""
-    if side_kw:
-        return fused_mlp(*args, **kw, **side_kw)
-    return fused_mlp(*args, **kw), None
+class _SideHook:
+    """Hands absorbed-ViT side tiles to carrier launches in program
+    order (models/absorb_vit.py VitSideFeed); pad slots return None
+    once the layer's tiles are consumed. `attn` mirrors
+    plan.attn_carriers: attention-block launches also carry tiles —
+    make_plan counted them in the slot schedule."""
+
+    def __init__(self, feed, spl: int, attn: bool):
+        self.feed, self.spl, self.attn = feed, spl, attn
+
+    def kw(self):
+        if self.feed.slot >= self.spl:
+            return None
+        return self.feed.kwargs()
+
+    def attn_kw(self):
+        return self.kw() if self.attn else None
+
+    def take(self, so):
+        if so is not None:
+            self.feed.take(so)
+
+    def result(self):
+        return self.feed.result()
+
+
+def _mlp(hook: Optional[_SideHook], *args, **kw):
+    """fused_mlp carrying the hook's next absorbed-ViT side tile (when
+    one is due); the side output feeds back into the hook."""
+    skw = hook.kw() if hook is not None else None
+    if skw:
+        y, so = fused_mlp(*args, **kw, **skw)
+        hook.take(so)
+        return y
+    return fused_mlp(*args, **kw)
+
+
+def _attn_side(hook: Optional[_SideHook], res, akw):
+    """Strip + route the side output of an attention-block launch that
+    carried a tile (attn_block_decode appends it last)."""
+    if akw:
+        hook.take(res[-1])
+        return res[:-1]
+    return res
 
 
 def _block_decode(
     cfg: DecoderConfig, x2, attn: AttnInputs, kv: LayerKV, li,
-    p: Dict, qp: Optional[Dict], dtype, side_kw=None,
-) -> Tuple[jax.Array, LayerKV, Optional[jax.Array]]:
+    p: Dict, qp: Optional[Dict], dtype, hook: Optional[_SideHook] = None,
+) -> Tuple[jax.Array, LayerKV]:
     """One decoder block's fused decode with stacked weights — mirrors
     the per-family `use_fused_decode` branches in models/decoders/*.py
-    (same kernels, layer_idx-indexed). side_kw rides an absorbed-ViT
-    tile on the MLP launch; returns (y, new_kv, side_out|None)."""
+    (same kernels, layer_idx-indexed). `hook` rides absorbed-ViT tiles
+    on the MLP launch and (mpt, hook.attn) the attention-block launch;
+    side outputs route back through the hook. Returns (y, new_kv)."""
     b = x2.shape[0]
     d = cfg.hidden_size
     hd = cfg.head_dim
@@ -100,7 +139,7 @@ def _block_decode(
         w_down, s_down = _w(p, qp, "down_proj", dtype)
         ln1b = p["norm_1"].get("bias") if not cfg.ln_no_bias else None
         ln2b = p["norm_2"].get("bias") if not cfg.ln_no_bias else None
-        if not fused_layer.DISABLE and not kv.int8 and side_kw is None:
+        if not fused_layer.DISABLE and not kv.int8 and hook is None:
             y, kc, vc = fused_layer.fused_layer_decode(
                 x2, p["norm_1"]["scale"], ln1b,
                 w_qkv, w_out, kv.k, kv.v, attn.pad_mask,
@@ -112,8 +151,9 @@ def _block_decode(
                 w1_scale=s_up, w2_scale=s_down,
                 eps=cfg.layer_norm_eps, layer_idx=li,
             )
-            return y, LayerKV(k=kc, v=vc), None
-        x2, new_kv = _unpack_kv(attn_block_decode(
+            return y, LayerKV(k=kc, v=vc)
+        akw = hook.attn_kw() if hook is not None else None
+        x2, new_kv = _unpack_kv(_attn_side(hook, attn_block_decode(
             x2,
             p["norm_1"]["scale"],
             ln1b,
@@ -123,15 +163,16 @@ def _block_decode(
             clip=cfg.clip_qkv, eps=cfg.layer_norm_eps,
             wq_scale=s_qkv, wout_scale=s_out, layer_idx=li,
             k_scale=kv.k_s, v_scale=kv.v_s,
-        ), kv.int8)
-        y, so = _mlp(
-            side_kw,
+            **(akw or {}),
+        ), akw), kv.int8)
+        y = _mlp(
+            hook,
             x2, w_up, w_down, w1_scale=s_up, w2_scale=s_down,
             ln_scale=p["norm_2"]["scale"],
             ln_bias=ln2b,
             eps=cfg.layer_norm_eps, act="gelu", residual=x2, layer_idx=li,
         )
-        return y, new_kv, so
+        return y, new_kv
 
     if fam == "gptneox":
         rotary_ndims = int(hd * cfg.rotary_pct)
@@ -163,8 +204,8 @@ def _block_decode(
             k_scale=kv.k_s, v_scale=kv.v_s,
         ), kv.int8)
         mlp_in = x2 if cfg.use_parallel_residual else x2 + attn_out
-        y, so = _mlp(
-            side_kw,
+        y = _mlp(
+            hook,
             mlp_in, w_up, w_down, w1_scale=s_up, w2_scale=s_down,
             b1=_b(p, "dense_h_to_4h") if has_bias else None,
             b2=_b(p, "dense_4h_to_h") if has_bias else None,
@@ -173,7 +214,7 @@ def _block_decode(
             eps=cfg.layer_norm_eps, act="gelu",
             residual=x2 + attn_out, layer_idx=li,
         )
-        return y, new_kv, so
+        return y, new_kv
 
     if fam == "llama":
         h_kv = cfg.kv_heads
@@ -202,15 +243,15 @@ def _block_decode(
         w_gate, s_gate = _w(p, qp, "gate_proj", dtype)
         w_up, s_up = _w(p, qp, "up_proj", dtype)
         w_down, s_down = _w(p, qp, "down_proj", dtype)
-        y, so = _mlp(
-            side_kw,
+        y = _mlp(
+            hook,
             x2, w_gate, w_down, w1_gate=w_up,
             w1_scale=s_gate, w2_scale=s_down, w1_gate_scale=s_up,
             ln_scale=p["post_attention_layernorm"]["scale"],
             eps=cfg.layer_norm_eps, norm="rms", act="silu",
             residual=x2, layer_idx=li,
         )
-        return y, new_kv, so
+        return y, new_kv
 
     if fam == "gptj":
         rotary_dim = cfg.rotary_dim or hd
@@ -243,13 +284,13 @@ def _block_decode(
             wout_scale=s_o, layer_idx=li,
             k_scale=kv.k_s, v_scale=kv.v_s,
         ), kv.int8)
-        y, so = _mlp(
-            side_kw,
+        y = _mlp(
+            hook,
             x2, w_in, w_fo, w1_scale=s_in, w2_scale=s_fo,
             b1=_b(p, "fc_in"), b2=_b(p, "fc_out"),
             act=act_name, residual=x2 + attn_out, **ln_kw,
         )
-        return y, new_kv, so
+        return y, new_kv
 
     if fam == "opt":
         ln_kw = dict(
@@ -276,27 +317,27 @@ def _block_decode(
             layer_idx=li,
             k_scale=kv.k_s, v_scale=kv.v_s,
         ), kv.int8)
-        y, so = _mlp(
-            side_kw,
+        y = _mlp(
+            hook,
             x2, w_1, w_2, w1_scale=s_1, w2_scale=s_2,
             b1=_b(p, "fc1"), b2=_b(p, "fc2"),
             ln_scale=p["final_layer_norm"]["scale"],
             ln_bias=p["final_layer_norm"]["bias"],
             eps=cfg.layer_norm_eps, act="relu", residual=x2, layer_idx=li,
         )
-        return y, new_kv, so
+        return y, new_kv
 
     raise ValueError(f"unknown family {fam!r}")
 
 
 def _xattn_decode(
     x2, mkv: LayerKV, mask2d, li, xp: Dict, xqp: Optional[Dict], dtype,
-    side_kw=None,
-) -> Tuple[jax.Array, Optional[jax.Array]]:
+    hook: Optional[_SideHook] = None,
+) -> jax.Array:
     """Gated cross-attention fused decode with stacked weights —
     mirrors GatedCrossAttentionBlock's fused branch (models/xattn.py).
-    side_kw rides an absorbed-ViT tile on the ff launch; returns
-    (y, side_out|None)."""
+    `hook` rides absorbed-ViT tiles on the ff launch and (hook.attn)
+    the attend launch; side outputs route back through the hook."""
     from ..ops import fused_layer
 
     ap = xp["attn"]
@@ -310,7 +351,7 @@ def _xattn_decode(
     heads = inner // dim_head
     w_1, s_1 = _w(fp, fqp, "fc1", dtype)
     w_2, s_2 = _w(fp, fqp, "fc2", dtype)
-    if fused_layer.use_for_xattn() and not mkv.int8 and side_kw is None:
+    if fused_layer.use_for_xattn() and not mkv.int8 and hook is None:
         return fused_layer.fused_layer_decode(
             x2, ap["norm"]["scale"], ap["norm"]["bias"],
             w_q, w_o, mkv.k, mkv.v, mask2d,
@@ -320,7 +361,8 @@ def _xattn_decode(
             wq_scale=s_q, wout_scale=s_o,
             w1_scale=s_1, w2_scale=s_2,
             eps=LN_EPS, layer_idx=li,
-        ), None
+        )
+    akw = hook.attn_kw() if hook is not None else None
     y = attn_block_decode(
         x2, ap["norm"]["scale"], ap["norm"]["bias"],
         w_q, w_o, mkv.k, mkv.v, mask2d,
@@ -328,15 +370,18 @@ def _xattn_decode(
         gate=xp["attn_gate"], eps=LN_EPS,
         wq_scale=s_q, wout_scale=s_o, layer_idx=li,
         k_scale=mkv.k_s, v_scale=mkv.v_s,
+        **(akw or {}),
     )
-    y2, so = _mlp(
-        side_kw,
+    if akw:
+        y, so = y
+        hook.take(so)
+    return _mlp(
+        hook,
         y, w_1, w_2, w1_scale=s_1, w2_scale=s_2,
         ln_scale=fp["norm"]["scale"], ln_bias=fp["norm"]["bias"],
         eps=LN_EPS, act="gelu", residual=y, gate=xp["ff_gate"],
         layer_idx=li,
     )
-    return y2, so
 
 
 def scan_fused_decode(
@@ -385,12 +430,12 @@ def scan_fused_decode(
         new_kvs = list(kvs)
         for k in range(n):
             if k == n - 1 and has_xattn:
-                x2, _ = _xattn_decode(
+                x2 = _xattn_decode(
                     x2, mkv, mask2d, li,
                     groups["xattn"], (qgroups or {}).get("xattn"),
                     dtype,
                 )
-            x2, new_kvs[k], _ = _block_decode(
+            x2, new_kvs[k] = _block_decode(
                 cfg, x2, attn, kvs[k], li,
                 groups[f"block_{k}"], (qgroups or {}).get(f"block_{k}"),
                 dtype,
@@ -407,12 +452,16 @@ def scan_fused_decode(
     # --- absorbed-ViT macro scan (models/absorb_vit.py) ----------------
     # The first macro*per_step groups are re-blocked into macro
     # iterations carrying EXACTLY one ViT layer's side schedule each
-    # (n+1 MLP launches per group x macro groups == slots_per_layer) —
+    # (macro = ceil(slots_per_layer / carrier launches per group);
+    # trailing launch positions past the slot count carry no tile) —
     # static slot placement, no lax.cond; the attention glue between
-    # slots 2 and 3 serializes itself through data dependencies. The
-    # REMAINING groups run the plain body: spreading layers across
-    # decode steps (small per_step) leaves those launches' DMA windows
-    # to the main stream and keeps the side MXU under the hiding budget.
+    # slots 2 and 3 serializes itself through data dependencies. With
+    # plan.attn_carriers the attention-block launches (mpt self-attn +
+    # the gated-xattn attend) also carry tiles — their KV-cache streams
+    # are the largest per-grid-step DMA windows in a quantized decode
+    # loop. The REMAINING groups run the plain body: spreading layers
+    # across decode steps (small per_step) leaves those launches' DMA
+    # windows to the main stream and keeps the side MXU under budget.
     from .absorb_vit import VitSideFeed
 
     vp_step, xw0, plan, interp = side
@@ -431,35 +480,26 @@ def scan_fused_decode(
         if isinstance(vp, dict) and "p" in vp:
             vp = (vp["p"], vp.get("q"))
         feed = VitSideFeed(vp, xw, plan, interpret=interp)
+        hook = _SideHook(
+            feed, plan.slots_per_layer,
+            getattr(plan, "attn_carriers", False),
+        )
         new_kvs = list(kvs)
-        spl = plan.slots_per_layer
-
-        def next_side():
-            # macro = ceil(spl / launches-per-group): trailing launch
-            # positions past the layer's slot count carry no side tile
-            return feed.kwargs() if feed.slot < spl else None
-
-        def take(so):
-            if so is not None:
-                feed.take(so)
-
         for j in range(plan.macro):
             li = li_vec[j]
             for k in range(n):
                 if k == n - 1:
-                    x2, so = _xattn_decode(
+                    x2 = _xattn_decode(
                         x2, mkv, mask2d, li,
                         groups["xattn"], (qgroups or {}).get("xattn"),
-                        dtype, side_kw=next_side(),
+                        dtype, hook=hook,
                     )
-                    take(so)
-                x2, new_kvs[k], so = _block_decode(
+                x2, new_kvs[k] = _block_decode(
                     cfg, x2, attn, new_kvs[k], li,
                     groups[f"block_{k}"], (qgroups or {}).get(f"block_{k}"),
-                    dtype, side_kw=next_side(),
+                    dtype, hook=hook,
                 )
-                take(so)
-        return (x2, tuple(new_kvs), feed.result()), None
+        return (x2, tuple(new_kvs), hook.result()), None
 
     (x2, kvs, xw), _ = jax.lax.scan(
         body_side, (x2, tuple(cache.layers), xw0), (li_side, vp_step)

@@ -430,7 +430,12 @@ def _attn_block_kernel(
     *rest,
     group, head_dim, kv_len, block_s, eps, clip, scale, use_alibi,
     proj_kv, has_ln_bias, has_gate, has_wqs, has_wouts, int8kv,
+    has_side=False, has_side_ln=False, has_side_ln_bias=False,
+    side_act=None, has_side_b=False, has_side_res=False,
+    side_eps=1e-5, has_side_ws=False,
 ):
+    from .dense_stream import side_tile_compute, unpack_side_refs
+
     i = 0
     wk_ref = wv_ref = None
     if proj_kv:
@@ -460,6 +465,11 @@ def _attn_block_kernel(
     i += has_ln_bias
     gate_ref = rest[i] if has_gate else None
     i += has_gate
+    side_refs, i = unpack_side_refs(
+        rest, i, has_side=has_side, has_side_ws=has_side_ws,
+        has_side_ln=has_side_ln, has_side_ln_bias=has_side_ln_bias,
+        has_side_b=has_side_b, has_side_res=has_side_res,
+    )
     y_ref = rest[i]
     i += 1
     if proj_kv:
@@ -468,9 +478,22 @@ def _attn_block_kernel(
         if int8kv:
             kso_ref, vso_ref = rest[i], rest[i + 1]   # (B, G, BS)
             i += 2
+    so_ref = rest[i] if has_side else None
+    i += has_side
     acc_ref = rest[i]
 
     g = pl.program_id(0)
+
+    if has_side:
+        # absorbed-ViT side tile rides this head group's KV+weight DMA
+        # window (same primitive as the fused_mlp carrier — the attn
+        # launches stream the whole KV cache, so their per-grid-step
+        # windows are the largest in the int4/int8 decode loop)
+        side_tile_compute(
+            side_refs, so_ref, side_act=side_act, side_eps=side_eps,
+            has_side_ln=has_side_ln, has_side_ws=has_side_ws,
+            has_side_b=has_side_b, has_side_res=has_side_res,
+        )
 
     @pl.when(g == 0)
     def _init():
@@ -629,6 +652,14 @@ def attn_block_decode(
     eps: float = 1e-5,
     head_block: Optional[int] = None,
     block_s: int = 16,
+    side_x: Optional[jax.Array] = None,        # (SM, SK) streamed tile
+    side_w: Optional[jax.Array] = None,        # (SK, SN) weight
+    side_w_scale: Optional[jax.Array] = None,  # (SN,) int8 side_w scales
+    side_ln: Optional[tuple] = None,           # (scale(SK,), bias|None)
+    side_eps: float = 1e-5,
+    side_act: Optional[str] = None,
+    side_b: Optional[jax.Array] = None,
+    side_residual: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ):
     """Whole attention half of a decode layer in ONE launch, grid over
@@ -639,7 +670,13 @@ def attn_block_decode(
     plus (k_scale', v_scale') when the cache is int8 (k_scale given).
 
     layer_idx (scan decode): wq/wout/ln/scales/gate carry a leading L
-    axis, block-indexed via scalar prefetch [slot, layer]."""
+    axis, block-indexed via scalar prefetch [slot, layer].
+
+    side_x/side_w: optional absorbed-ViT side tile (same API/semantics
+    as fused_mlp's) — the attention launches stream the whole KV cache,
+    so their per-grid-step DMA windows are the LARGEST in a quantized
+    decode loop; a side tile rides each head group's window. With a
+    side tile the return gains side_out as the last element."""
     from .dense_stream import INTERPRET
 
     interpret = INTERPRET if interpret is None else interpret
@@ -758,6 +795,16 @@ def attn_block_decode(
             else jnp.asarray(gate, jnp.float32).reshape(1, 1)
         )
         in_specs.append(pl.BlockSpec(sshape((1, 1)), smap(lambda gg: (0, 0))))
+    has_side = side_x is not None
+    if has_side:
+        from .dense_stream import append_side_operands
+
+        smb, sn = append_side_operands(
+            operands, in_specs, side_x=side_x, side_w=side_w,
+            side_w_scale=side_w_scale, side_ln=side_ln, side_b=side_b,
+            side_residual=side_residual, grid_n=n_groups,
+            umap=lambda f: (lambda gg, slot: f(gg)),
+        )
 
     out_specs = [pl.BlockSpec((b, d), lambda gg, slot: (0, 0))]
     out_shape = [jax.ShapeDtypeStruct((b, d), x.dtype)]
@@ -788,6 +835,16 @@ def attn_block_decode(
             ]
             # ks/vs operands sit after ln_scale (args 11, 12)
             aliases = {5: 1, 6: 2, 11: 3, 12: 4}
+    if has_side:
+        # side_out is the LAST output so the alias indices stay fixed
+        out_specs.append(
+            pl.BlockSpec((smb, sn), lambda gg, slot: (gg, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((side_x.shape[0], sn), side_x.dtype)
+        )
+
+    from .dense_stream import side_kernel_flags
 
     kernel = functools.partial(
         _attn_block_kernel,
@@ -798,6 +855,11 @@ def attn_block_decode(
         has_wqs=wq_scale is not None,
         has_wouts=wout_scale is not None,
         int8kv=int8kv,
+        **side_kernel_flags(
+            side_x=side_x, side_w_scale=side_w_scale, side_ln=side_ln,
+            side_act=side_act, side_b=side_b,
+            side_residual=side_residual, side_eps=side_eps,
+        ),
     )
     res = pl.pallas_call(
         kernel,
@@ -813,11 +875,11 @@ def attn_block_decode(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(slot1, *operands)
-    if fused_qkv and int8kv:
-        return res[0], res[1], res[2], res[3], res[4]
-    if fused_qkv:
-        return res[0], res[1], res[2]
-    return res[0]
+    n_main = 1 + (2 + 2 * int8kv if fused_qkv else 0)
+    main = tuple(res[:n_main])
+    if has_side:
+        return (*main, res[n_main])
+    return main if fused_qkv else main[0]
 
 
 def reference_attend_out(

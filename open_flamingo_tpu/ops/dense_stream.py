@@ -398,6 +398,142 @@ def fused_dense(
     )(*pre, *operands)
 
 
+def unpack_side_refs(rest, i, *, has_side, has_side_ws, has_side_ln,
+                     has_side_ln_bias, has_side_b, has_side_res):
+    """Unpack the side-tile input refs appended by append_side_operands
+    (same order). Returns (refs tuple, next index)."""
+    sx_ref = rest[i] if has_side else None
+    i += has_side
+    sw_ref = rest[i] if has_side else None
+    i += has_side
+    sws_ref = rest[i] if has_side_ws else None
+    i += has_side_ws
+    sls_ref = rest[i] if has_side_ln else None
+    i += has_side_ln
+    slb_ref = rest[i] if has_side_ln_bias else None
+    i += has_side_ln_bias
+    sb_ref = rest[i] if has_side_b else None
+    i += has_side_b
+    sres_ref = rest[i] if has_side_res else None
+    i += has_side_res
+    return (sx_ref, sw_ref, sws_ref, sls_ref, slb_ref, sb_ref, sres_ref), i
+
+
+def side_tile_compute(
+    refs, so_ref, *, side_act, side_eps, has_side_ln, has_side_ws,
+    has_side_b, has_side_res,
+):
+    """One side-stream tile: an UNRELATED matmul block rides this grid
+    step's otherwise-idle MXU while the main weight blocks DMA (Mosaic
+    pipelines block fetches against compute). Free as long as the side
+    FLOPs stay under the per-step DMA window; the side activation/out
+    traffic is added DMA and pays at line rate
+    (scripts_dev/tpu_overlap_probe2.py). Used to hide the next batch's
+    ViT forward inside the decode loop — shared by the MLP and
+    attention-block carrier kernels."""
+    sx_ref, sw_ref, sws_ref, sls_ref, slb_ref, sb_ref, sres_ref = refs
+    sx = sx_ref[...]
+    if has_side_ln:
+        sh = _norm_f32(sx, sls_ref, slb_ref, side_eps, "layer")
+    else:
+        sh = sx.astype(jnp.float32)
+    sh = _act_f32(sh, side_act)
+    if has_side_ws:
+        # W8A8 side dot: the side tile is MXU-bound when it exceeds
+        # the launch's DMA window (the int4-stream regime) — int8 x
+        # int8 -> int32 runs ~1.45x the bf16 MXU rate (w8a8.py).
+        # Dynamic per-row activation quant in-register; the weight
+        # arrives pre-quantized with per-out-channel scales.
+        amax = jnp.max(jnp.abs(sh), axis=-1, keepdims=True)
+        s_act = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+        sq = jnp.clip(jnp.round(sh / s_act), -127, 127).astype(
+            jnp.int8
+        )
+        so = jax.lax.dot_general(
+            sq, sw_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * s_act * sws_ref[0].astype(jnp.float32)
+    else:
+        so = jax.lax.dot_general(
+            sh.astype(sx.dtype), sw_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if has_side_b:
+        so = so + sb_ref[0].astype(jnp.float32)
+    if has_side_res:
+        so = so + sres_ref[...].astype(jnp.float32)
+    so_ref[...] = so.astype(so_ref.dtype)
+
+
+def append_side_operands(
+    operands, in_specs, *, side_x, side_w, side_w_scale, side_ln,
+    side_b, side_residual, grid_n, umap,
+):
+    """Append the side-tile inputs (M-partitioned over a grid_n-step
+    grid) to a carrier kernel's operand/spec lists; returns (smb, sn).
+    Side operands never carry the stacked layer axis: the caller slices
+    per-layer side weights outside (one small XLA slice per launch
+    group, vs reworking the scalar-prefetch maps for an independent
+    second index)."""
+    assert side_w is not None
+    sm, sk = side_x.shape
+    skb, sn = side_w.shape
+    assert sk == skb, (side_x.shape, side_w.shape)
+    assert sm % grid_n == 0, (
+        f"side_x rows {sm} must be a multiple of the carrier grid size "
+        f"{grid_n} (one side row-block rides each grid step)"
+    )
+    smb = sm // grid_n
+    operands.extend([side_x, side_w])
+    in_specs.extend([
+        pl.BlockSpec((smb, sk), umap(lambda i: (i, 0))),
+        pl.BlockSpec((sk, sn), umap(lambda i: (0, 0))),
+    ])
+    if side_w_scale is not None:
+        assert side_w.dtype == jnp.int8, side_w.dtype
+        operands.append(
+            jnp.asarray(side_w_scale, jnp.float32).reshape(1, sn)
+        )
+        in_specs.append(pl.BlockSpec((1, sn), umap(lambda i: (0, 0))))
+    if side_ln is not None:
+        operands.append(jnp.asarray(side_ln[0]).reshape(1, sk))
+        in_specs.append(pl.BlockSpec((1, sk), umap(lambda i: (0, 0))))
+        if side_ln[1] is not None:
+            operands.append(jnp.asarray(side_ln[1]).reshape(1, sk))
+            in_specs.append(
+                pl.BlockSpec((1, sk), umap(lambda i: (0, 0)))
+            )
+    if side_b is not None:
+        operands.append(jnp.asarray(side_b).reshape(1, sn))
+        in_specs.append(pl.BlockSpec((1, sn), umap(lambda i: (0, 0))))
+    if side_residual is not None:
+        operands.append(side_residual)
+        in_specs.append(
+            pl.BlockSpec((smb, sn), umap(lambda i: (i, 0)))
+        )
+    return smb, sn
+
+
+def side_kernel_flags(*, side_x, side_w_scale, side_ln, side_act,
+                      side_b, side_residual, side_eps):
+    """kwargs for a carrier kernel's side-tile functools.partial."""
+    has_side = side_x is not None
+    return dict(
+        has_side=has_side,
+        has_side_ln=has_side and side_ln is not None,
+        has_side_ln_bias=(
+            has_side and side_ln is not None and side_ln[1] is not None
+        ),
+        side_act=side_act,
+        has_side_b=has_side and side_b is not None,
+        has_side_res=has_side and side_residual is not None,
+        side_eps=side_eps,
+        has_side_ws=has_side and side_w_scale is not None,
+    )
+
+
 def _mlp_kernel(
     *args,
     eps, act, norm, has_ln, has_ln_bias, has_w1b, has_b1, has_b2,
@@ -432,20 +568,11 @@ def _mlp_kernel(
     i += has_residual
     gate_ref = rest[i] if has_gate else None
     i += has_gate
-    sx_ref = rest[i] if has_side else None
-    i += has_side
-    sw_ref = rest[i] if has_side else None
-    i += has_side
-    sws_ref = rest[i] if has_side_ws else None
-    i += has_side_ws
-    sls_ref = rest[i] if has_side_ln else None
-    i += has_side_ln
-    slb_ref = rest[i] if has_side_ln_bias else None
-    i += has_side_ln_bias
-    sb_ref = rest[i] if has_side_b else None
-    i += has_side_b
-    sres_ref = rest[i] if has_side_res else None
-    i += has_side_res
+    side_refs, i = unpack_side_refs(
+        rest, i, has_side=has_side, has_side_ws=has_side_ws,
+        has_side_ln=has_side_ln, has_side_ln_bias=has_side_ln_bias,
+        has_side_b=has_side_b, has_side_res=has_side_res,
+    )
     if has_side:
         o_ref, so_ref, acc_ref = rest[i], rest[i + 1], rest[i + 2]
     else:
@@ -454,46 +581,11 @@ def _mlp_kernel(
     ki = pl.program_id(0)
 
     if has_side:
-        # Side-stream tile: an UNRELATED matmul block rides this grid
-        # step's otherwise-idle MXU while the main weight blocks DMA
-        # (Mosaic pipelines block fetches against compute). Free as long
-        # as the side FLOPs stay under the per-step DMA window; the side
-        # activation/out traffic is added DMA and pays at line rate
-        # (scripts_dev/tpu_overlap_probe2.py). Used to hide the next
-        # batch's ViT forward inside the decode loop.
-        sx = sx_ref[...]
-        if has_side_ln:
-            sh = _norm_f32(sx, sls_ref, slb_ref, side_eps, "layer")
-        else:
-            sh = sx.astype(jnp.float32)
-        sh = _act_f32(sh, side_act)
-        if has_side_ws:
-            # W8A8 side dot: the side tile is MXU-bound when it exceeds
-            # the launch's DMA window (the int4-stream regime) — int8 x
-            # int8 -> int32 runs ~1.45x the bf16 MXU rate (w8a8.py).
-            # Dynamic per-row activation quant in-register; the weight
-            # arrives pre-quantized with per-out-channel scales.
-            amax = jnp.max(jnp.abs(sh), axis=-1, keepdims=True)
-            s_act = jnp.where(amax == 0.0, 1.0, amax / 127.0)
-            sq = jnp.clip(jnp.round(sh / s_act), -127, 127).astype(
-                jnp.int8
-            )
-            so = jax.lax.dot_general(
-                sq, sw_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * s_act * sws_ref[0].astype(jnp.float32)
-        else:
-            so = jax.lax.dot_general(
-                sh.astype(sx.dtype), sw_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        if has_side_b:
-            so = so + sb_ref[0].astype(jnp.float32)
-        if has_side_res:
-            so = so + sres_ref[...].astype(jnp.float32)
-        so_ref[...] = so.astype(so_ref.dtype)
+        side_tile_compute(
+            side_refs, so_ref, side_act=side_act, side_eps=side_eps,
+            has_side_ln=has_side_ln, has_side_ws=has_side_ws,
+            has_side_b=has_side_b, has_side_res=has_side_res,
+        )
 
     @pl.when(ki == 0)
     def _init():
@@ -716,52 +808,11 @@ def fused_mlp(
     grid_n = pl.cdiv(k2, block_k2)
     has_side = side_x is not None
     if has_side:
-        assert side_w is not None
-        sm, sk = side_x.shape
-        skb, sn = side_w.shape
-        assert sk == skb, (side_x.shape, side_w.shape)
-        assert sm % grid_n == 0, (
-            f"side_x rows {sm} must be a multiple of the K2 grid size "
-            f"{grid_n} (one side row-block rides each grid step)"
+        smb, sn = append_side_operands(
+            operands, in_specs, side_x=side_x, side_w=side_w,
+            side_w_scale=side_w_scale, side_ln=side_ln, side_b=side_b,
+            side_residual=side_residual, grid_n=grid_n, umap=umap,
         )
-        smb = sm // grid_n
-        # side operands never carry the stacked layer axis: the caller
-        # slices per-layer side weights outside (one small XLA slice per
-        # launch group, vs reworking the scalar-prefetch maps for an
-        # independent second index)
-        operands.extend([side_x, side_w])
-        in_specs.extend([
-            pl.BlockSpec((smb, sk), umap(lambda i: (i, 0))),
-            pl.BlockSpec((sk, sn), umap(lambda i: (0, 0))),
-        ])
-        if side_w_scale is not None:
-            assert side_w.dtype == jnp.int8, side_w.dtype
-            operands.append(
-                jnp.asarray(side_w_scale, jnp.float32).reshape(1, sn)
-            )
-            in_specs.append(
-                pl.BlockSpec((1, sn), umap(lambda i: (0, 0)))
-            )
-        if side_ln is not None:
-            operands.append(jnp.asarray(side_ln[0]).reshape(1, sk))
-            in_specs.append(
-                pl.BlockSpec((1, sk), umap(lambda i: (0, 0)))
-            )
-            if side_ln[1] is not None:
-                operands.append(jnp.asarray(side_ln[1]).reshape(1, sk))
-                in_specs.append(
-                    pl.BlockSpec((1, sk), umap(lambda i: (0, 0)))
-                )
-        if side_b is not None:
-            operands.append(jnp.asarray(side_b).reshape(1, sn))
-            in_specs.append(
-                pl.BlockSpec((1, sn), umap(lambda i: (0, 0)))
-            )
-        if side_residual is not None:
-            operands.append(side_residual)
-            in_specs.append(
-                pl.BlockSpec((smb, sn), umap(lambda i: (i, 0)))
-            )
 
     kernel = functools.partial(
         _mlp_kernel,
@@ -778,16 +829,11 @@ def fused_mlp(
         has_w1bs=w1_gate_scale is not None,
         k2_total=k2, block_k2=block_k2,
         stacked_w=stacked,
-        has_side=has_side,
-        has_side_ln=has_side and side_ln is not None,
-        has_side_ln_bias=(
-            has_side and side_ln is not None and side_ln[1] is not None
+        **side_kernel_flags(
+            side_x=side_x, side_w_scale=side_w_scale, side_ln=side_ln,
+            side_act=side_act, side_b=side_b,
+            side_residual=side_residual, side_eps=side_eps,
         ),
-        side_act=side_act,
-        has_side_b=has_side and side_b is not None,
-        has_side_res=has_side and side_residual is not None,
-        side_eps=side_eps,
-        has_side_ws=has_side and side_w_scale is not None,
     )
     from jax.experimental.pallas import tpu as pltpu
 
@@ -820,7 +866,8 @@ def fused_mlp(
     out_shape = jax.ShapeDtypeStruct((b, n), x.dtype)
     if has_side:
         out_shape = [
-            out_shape, jax.ShapeDtypeStruct((sm, sn), side_x.dtype)
+            out_shape,
+            jax.ShapeDtypeStruct((side_x.shape[0], sn), side_x.dtype),
         ]
     return pl.pallas_call(
         kernel,

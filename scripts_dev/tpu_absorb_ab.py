@@ -77,16 +77,27 @@ def timed(fn, *args, reps=9, w8=False):
 
 
 ARMS = {
-    "bf16_b32": (False, 32),
-    "int4w8a8_b32": (True, 32),
-    "int4w8a8_b8": (True, 8),
-    "bf16_b8": (False, 8),
+    # (quantized stack, batch, attn_carriers)
+    "bf16_b32": (False, 32, False),
+    "int4w8a8_b32": (True, 32, False),
+    "int4w8a8_b8": (True, 8, False),
+    "bf16_b8": (False, 8, False),
+    # round-5 second wave: attention-block launches join the carrier
+    # set (absorb_vit.ATTN_CARRIERS) — the attn launches stream the
+    # whole KV cache, so their per-grid-step DMA windows are the
+    # largest in a quantized loop; spreading the same 12 tiles over
+    # ~2x the launches should cut the exposed side MXU
+    "bf16_b32_attn": (False, 32, True),
+    "int4w8a8_b32_attn": (True, 32, True),
 }
 sel = [a for a in sys.argv[1:] if a in ARMS] or list(ARMS)
 
 out = {}
 for name in sel:
-    quant, B = ARMS[name]
+    from open_flamingo_tpu.models import absorb_vit
+
+    quant, B, attn_c = ARMS[name]
+    absorb_vit.ATTN_CARRIERS = attn_c
     vision_x = jnp.asarray(
         rng.normal(size=(B, 1, 1, 224, 224, 3)) * 0.3, jnp.bfloat16
     )

@@ -226,6 +226,47 @@ def test_generate_absorb_pad_slots(rng):
     )
 
 
+def test_generate_absorb_attn_carriers(rng):
+    """ATTN_CARRIERS: the mpt self-attn and gated-xattn attend launches
+    join the carrier set (attn_block_decode side tiles) — spg doubles
+    (2 MLP + 2 attn per group -> macro 2 instead of 4), tokens stay
+    bitwise-exact and the absorbed latents match embed_vision."""
+    from open_flamingo_tpu.models import absorb_vit
+
+    model, params, vision_x, ids, mask = _setup(rng)
+    next_pixels = jnp.asarray(
+        rng.normal(size=(2, 1, 1, 16, 16, 3)), jnp.float32
+    )
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, pad_token_id=0, eos_token_id=-1
+    )
+    absorb_vit.ATTN_CARRIERS = True
+    dense_stream.FORCE_FUSED = True
+    dense_stream.INTERPRET = True
+    vit_attention.INTERPRET = True
+    try:
+        plan = make_plan(CFG, (2, 1, 1), 4)
+        assert plan is not None and plan.attn_carriers
+        assert plan.macro == 2          # ceil(8 / 4 carriers-per-group)
+        out_plain = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg
+        )
+        out_abs, next_lat = flamingo_generate(
+            model, params, vision_x, ids, mask, gen_cfg,
+            next_pixels=next_pixels,
+        )
+    finally:
+        absorb_vit.ATTN_CARRIERS = False
+        dense_stream.FORCE_FUSED = False
+        dense_stream.INTERPRET = False
+        vit_attention.INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_abs))
+    want = model.apply(params, next_pixels, method=Flamingo.embed_vision)
+    np.testing.assert_allclose(
+        np.asarray(next_lat), np.asarray(want), atol=1e-4
+    )
+
+
 def test_generate_absorb_multi_image_next(rng):
     """next batch with T_img=2 media per row (bv = b*t*f rows)."""
     model, params, vision_x, ids, mask = _setup(rng)

@@ -436,6 +436,74 @@ def test_attn_block_decode_parity(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
+def test_attn_block_decode_side_stream(rng):
+    """Absorbed-ViT side tile on the ATTENTION-block launch (the
+    round-5 extra carriers: attn launches stream the whole KV cache, so
+    their DMA windows are the largest in a quantized decode loop). Main
+    outputs identical to the no-side call; side output =
+    LN(side_x) @ side_w (+bias/residual), M-partitioned over the
+    head-group grid."""
+    from open_flamingo_tpu.ops.decode_layer import attn_block_decode
+
+    Bq, H, DH, S = 3, 4, 64, 32
+    D = H * DH
+    t = lambda *s, scale=0.5: jnp.asarray(rng.normal(size=s) * scale,
+                                          jnp.float32)
+    x = t(Bq, D)
+    ln_s, ln_b = t(D, scale=1.0), t(D, scale=0.1)
+    wqkv = t(D, 3 * D, scale=0.05)
+    wout = t(D, D, scale=0.05)
+    kc, vc = t(Bq, H, S, DH), t(Bq, H, S, DH)
+    mask = jnp.ones((Bq, S), jnp.int32)
+    sm, sk, sn = 16, 128, 192          # head_block 2 -> 2 grid steps
+    sx, sw = t(sm, sk), t(sk, sn, scale=0.05)
+    sls, slb = t(sk, scale=1.0), t(sk, scale=0.1)
+    sb, sres = t(sn, scale=0.1), t(sm, sn)
+    common = dict(
+        heads=H, head_dim=DH, scale=0.3, fused_qkv=True, slot=5,
+        clip=4.0, head_block=2, block_s=8, interpret=True,
+    )
+    base_y, base_k, base_v = attn_block_decode(
+        x, ln_s, ln_b, wqkv, wout, kc, vc, mask, **common
+    )
+    got_y, got_k, got_v, got_side = attn_block_decode(
+        x, ln_s, ln_b, wqkv, wout, kc, vc, mask, **common,
+        side_x=sx, side_w=sw, side_ln=(sls, slb), side_b=sb,
+        side_residual=sres,
+    )
+    np.testing.assert_array_equal(np.asarray(got_y), np.asarray(base_y))
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(base_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(base_v))
+    sh = np.asarray(sx, np.float64)
+    mu = sh.mean(-1, keepdims=True)
+    var = sh.var(-1, keepdims=True)
+    sh = (sh - mu) / np.sqrt(var + 1e-5) * np.asarray(sls) + np.asarray(slb)
+    want_side = sh @ np.asarray(sw, np.float64) + np.asarray(sb) + np.asarray(
+        sres, np.float64
+    )
+    np.testing.assert_allclose(got_side, want_side, atol=3e-4)
+
+    # the static-media (xattn attend) variant: gate + no cache write
+    wq = t(D, D, scale=0.05)
+    base = attn_block_decode(
+        x, ln_s, ln_b, wq, wout, kc, vc, mask,
+        heads=H, head_dim=DH, scale=0.3, gate=jnp.asarray([0.6]),
+        head_block=4, interpret=True,
+    )
+    got, got_side2 = attn_block_decode(
+        x, ln_s, ln_b, wq, wout, kc, vc, mask,
+        heads=H, head_dim=DH, scale=0.3, gate=jnp.asarray([0.6]),
+        head_block=4, interpret=True,
+        side_x=sx, side_w=sw, side_act="quick_gelu",
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+    sh2 = np.asarray(sx, np.float64)
+    sh2 = sh2 / (1.0 + np.exp(-1.702 * sh2))
+    np.testing.assert_allclose(
+        got_side2, sh2 @ np.asarray(sw, np.float64), atol=3e-4
+    )
+
+
 def test_fused_dense_ragged_vocab(data):
     """N not a multiple of the block (un-aligned vocab, e.g. 50434):
     last-block out-of-bounds columns must be masked, both layouts."""
