@@ -19,20 +19,27 @@ test:
 # process (smaller compile state everywhere), (b) conftest.py enables
 # the persistent compile cache so a retry fast-forwards to the crash
 # point and re-rolls only the crashing compile, (c) each process
-# retries ONCE on SIGSEGV/SIGILL exit codes.
+# retries up to TWICE on SIGSEGV/SIGILL/SIGABRT exit codes (134 also
+# observed round 5: "Fatal Python error: Aborted" — the same AOT-loader
+# crash family surfacing as abort() instead of a segfault). test_train
+# joins the isolated set: round 5 saw the crash concentrate on its
+# train-step pjit compile three times in one day (it migrates to
+# whatever the biggest compile in the process is; isolation shrinks
+# every process's compile state), especially when other jax processes
+# (bench.py / A/B drivers) compile on the same host concurrently.
 define run_with_aot_retry
-	python -m pytest $(1) -q $(2); \
-	rc=$$?; \
-	if [ $$rc -eq 139 ] || [ $$rc -eq 132 ]; then \
-	  echo "XLA:CPU AOT-loader crash (rc=$$rc) — retrying once"; \
-	  python -m pytest $(1) -q $(2); \
-	else \
-	  exit $$rc; \
-	fi
+	for attempt in 1 2 3; do \
+	  python -m pytest $(1) -q $(2); rc=$$?; \
+	  if [ $$rc -ne 139 ] && [ $$rc -ne 132 ] && [ $$rc -ne 134 ]; then \
+	    exit $$rc; \
+	  fi; \
+	  echo "XLA:CPU AOT-loader crash (rc=$$rc) — retry $$attempt/2"; \
+	done; exit $$rc
 endef
 
 test-fast:
-	$(call run_with_aot_retry,tests/ --ignore=tests/test_serving.py --ignore=tests/test_speculative.py,-m "not slow")
+	$(call run_with_aot_retry,tests/ --ignore=tests/test_serving.py --ignore=tests/test_speculative.py --ignore=tests/test_train.py,-m "not slow")
+	$(call run_with_aot_retry,tests/test_train.py,-m "not slow")
 	$(call run_with_aot_retry,tests/test_speculative.py,-m "not slow")
 	$(call run_with_aot_retry,tests/test_serving.py,-m "not slow")
 
