@@ -1,9 +1,13 @@
 """Benchmark harness (driver contract): prints ONE JSON line.
 
 Measures the flagship decode path from BASELINE.json configs[0]:
-OF-3B (ViT-L/14 + MPT-1B arch, xattn every layer), bf16, single-image
+OF-3B (ViT-L/14 + MPT-1B arch, xattn every layer), single-image
 prompts, KV-cached greedy generate. Metric: generated tokens/sec/chip
 (vision encode + prefill + 32 decode steps all included in the timing).
+Headline value = the best production config: B=64 scan int4 decode +
+W8A8 prefill with the next batch's ViT absorbed into the decode loop
+(round-5 batch-scaling + absorption studies); b32/b8 rows keep the
+round-over-round comparison intact.
 
 vs_baseline is null: the reference publishes no throughput numbers and
 its CUDA stack cannot run here (BASELINE.md).
@@ -128,13 +132,18 @@ def main():
     # dropped so the whole JSON line fits the driver's 2000-char tail):
     # bf16 ceiling reference + the production config (scan engine + int4
     # weight streaming + W8A8 int8 prefill/vision).
-    serve = timed("b32 bf16", B=32)   # throughput-oriented serving batch
+    serve = timed("b32 bf16", B=32)   # latency-balanced serving batch
     serve_i4 = timed("b32 scan int4+w8a8", B=32, scan=True,
                      w8a8_prefill=True, bits=4)
     small_i4 = timed("b8 scan int4+w8a8", B=8, scan=True,
                      w8a8_prefill=True, bits=4)
     one_i4 = timed("b32 scan int4+w8a8 new=1", B=32, scan=True,
                    w8a8_prefill=True, bits=4, new=1)
+    # offline-throughput point (round-5 batch-scaling ladder): B=64
+    # serial, and the absorbed-ViT pipe on top (headline — see
+    # bench_absorb_pipe docstring)
+    big_i4 = timed("b64 scan int4+w8a8", B=64, scan=True,
+                   w8a8_prefill=True, bits=4)
     tokens_per_sec = serve_i4["tps"]
 
     # amortized share of the per-batch vision encode + prefill in the
@@ -145,10 +154,11 @@ def main():
     vision_prefill_s = max(dt1 - step, 0.0)
 
     detail = {
-        "cfg": "pl32 new32; headline=scan int4 decode + W8A8 prefill",
+        "cfg": "pl32 new32; headline=B64 scan int4+W8A8 absorbed-ViT pipe",
         "b32_bf16": serve,
         "b32_i4": serve_i4,
         "b8_i4": small_i4,
+        "b64_i4": big_i4,
         "vp_s": round(vision_prefill_s, 4),
         "vp_share": round(vision_prefill_s / dt32, 3),
     }
@@ -159,6 +169,14 @@ def main():
         _note(f"b32 bf16 pipe(absorb): {detail['b32_bf16_pipe']}")
     except Exception as e:
         detail["b32_bf16_pipe"] = {"err": repr(e)[:120]}
+    try:
+        detail["b64_i4_pipe"] = bench_absorb_pipe(
+            scan_model, cfg, T_TXT, NEW, B=64, int4=True
+        )
+        _note(f"b64 int4 pipe(absorb): {detail['b64_i4_pipe']}")
+        tokens_per_sec = detail["b64_i4_pipe"]["tps"]
+    except Exception as e:  # headline falls back to the b32 serial row
+        detail["b64_i4_pipe"] = {"err": repr(e)[:120]}
 
     for key, fn in (
         ("fewshot", bench_fewshot),
@@ -185,19 +203,22 @@ def main():
     )
 
 
-def bench_absorb_pipe(scan_model, cfg, t_txt, new):
-    """Cross-batch pipelined bf16 serving: batch i's decode loop carries
+def bench_absorb_pipe(scan_model, cfg, t_txt, new, B=32, int4=False):
+    """Cross-batch pipelined serving: batch i's decode loop carries
     batch i+1's ViT as absorbed side tiles (generation.py next_pixels=,
     models/absorb_vit.py). The loop feeds each call's returned latents
     into the next call — the true steady-state operating mode. Measured
-    +4.7% serial over the serial bf16 path (BASELINE round-5 study);
-    enabled for bf16 streams only (int4 measured break-even)."""
+    (BASELINE round-5 studies): B=32 +4.7% bf16 / break-even int4;
+    B=64 +6.1% bf16 / +7.0% int4 — the doubled KV-cache stream widens
+    the per-launch DMA windows enough that even the int4 weight stream
+    hides the ViT, so the B=64 int4 absorbed pipe is the production
+    offline-throughput point (and the headline value)."""
     import numpy as np
 
     from open_flamingo_tpu.generation import GenerationConfig, flamingo_generate
     from open_flamingo_tpu.models.flamingo import Flamingo
+    from open_flamingo_tpu.ops import w8a8
 
-    B = 32
     m = scan_model
     vision_x = jnp.zeros((B, 1, 1, 224, 224, 3), jnp.bfloat16)
     ids = jnp.zeros((B, t_txt), jnp.int32).at[:, 0].set(cfg.media_token_id)
@@ -208,9 +229,16 @@ def bench_absorb_pipe(scan_model, cfg, t_txt, new):
     params = jax.jit(
         lambda: jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
     )()
+    if int4:
+        from open_flamingo_tpu.quantize import quantize_prefill_params
+
+        params = jax.jit(
+            lambda v: quantize_prefill_params(v, bits=4)
+        )(params)
     gen_cfg = GenerationConfig(
         max_new_tokens=new, pad_token_id=1, eos_token_id=cfg.eoc_token_id
     )
+    w8a8.ENABLED = int4
     lat = jax.jit(
         lambda p, vx: m.apply(p, vx, method=Flamingo.embed_vision)
     )(params, vision_x)
@@ -221,6 +249,7 @@ def bench_absorb_pipe(scan_model, cfg, t_txt, new):
     )
     toks, lat = jitted(params, lat, vision_x, ids, mask)
     np.asarray(toks)
+    w8a8.ENABLED = False
     times = []
     for _ in range(5):
         t0 = time.perf_counter()

@@ -99,9 +99,14 @@ def measure(B):
     }
 
 
-out = {"b8": measure(8)}
-try:
-    out["b16"] = measure(16)
-except Exception as e:
-    out["b16"] = {"error": repr(e)[:200]}
+out = {}
+sel = [a for a in sys.argv[1:] if a in ("b8", "b16", "b32")] or ["b8", "b16"]
+for arm in sel:
+    # b32 (round 5): the batch-scaling point — int8 KV at B=32/S=64 is
+    # ~1.1 GiB over the 8.03 GiB resident tree, well inside 16 GiB
+    try:
+        out[arm] = measure(int(arm[1:]))
+    except Exception as e:
+        out[arm] = {"error": repr(e)[:200]}
+    print(f"{arm}: {out[arm]}", flush=True)
 print(json.dumps(out))

@@ -89,6 +89,12 @@ ARMS = {
     # ~2x the launches should cut the exposed side MXU
     "bf16_b32_attn": (False, 32, True),
     "int4w8a8_b32_attn": (True, 32, True),
+    # round-5 third wave: the B=64 offline-throughput point (the
+    # prefill-absorption close-out's batch-scaling ladder). The serial
+    # ViT doubles (~104ms bf16) while the decode windows grow only by
+    # the extra cache stream — does absorption still pay?
+    "bf16_b64": (False, 64, False),
+    "int4w8a8_b64": (True, 64, False),
 }
 sel = [a for a in sys.argv[1:] if a in ARMS] or list(ARMS)
 
