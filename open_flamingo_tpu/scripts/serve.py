@@ -53,6 +53,15 @@ def build_parser():
                         "vs 2.28 at depth 1) — BASELINE.md round-5 churn")
     p.add_argument("--t_img", type=int, default=1,
                    help="media slots per request (fixed per engine)")
+    p.add_argument("--absorb_vision", action="store_true",
+                   help="pre-encode queued requests' images as absorbed "
+                        "side tiles riding the decode chunks "
+                        "(models/absorb_vit.py); admissions then skip "
+                        "the vision encode — tokens unchanged")
+    p.add_argument("--absorb_batch", type=int, default=None,
+                   help="images per pre-encode cycle (default: "
+                        "batch_rows; larger amortizes the side weight "
+                        "streams better)")
     p.add_argument("--default_max_new_tokens", type=int, default=32)
     p.add_argument("--synthetic", type=int, default=0,
                    help="serve N synthetic zero-image requests and exit "
@@ -110,6 +119,8 @@ def main(argv=None):
         t_img=args.t_img,
         chunk_tokens=args.chunk_tokens,
         pipeline_depth=args.pipeline_depth,
+        absorb_vision=args.absorb_vision,
+        absorb_batch=args.absorb_batch,
         gen=GenerationConfig(
             max_new_tokens=0, pad_token_id=tokenizer.pad_token_id or 0,
             eos_token_id=model.cfg.eoc_token_id, int8_kv=args.int8_kv,

@@ -103,6 +103,8 @@ class ServingEngine:
         chunk_tokens: int = 8,
         gen: Optional[GenerationConfig] = None,
         pipeline_depth: int = 0,
+        absorb_vision: bool = False,
+        absorb_batch: Optional[int] = None,
     ):
         assert max_prompt_len % 16 == 0 and max_seq_len % 16 == 0
         assert max_prompt_len + chunk_tokens <= max_seq_len
@@ -173,6 +175,35 @@ class ServingEngine:
         self._chunk_jit = jax.jit(self._decode_chunk, donate_argnums=(0,))
         self._state = None
 
+        # absorbed-ViT pre-encode (models/absorb_vit.py): cycles of
+        # `absorb_batch` queue-head images ride the decode chunks as
+        # fused-kernel side tiles; admission then consumes the pooled
+        # latents (bitwise-equal to embed_vision) through a prefill
+        # graph that skips the vision encode. Requires the scan fused
+        # decode engine (same gate as flamingo_generate's next_pixels).
+        self._absorb_on = bool(absorb_vision) and (
+            self._scan_groups is not None
+            and dense_stream.use_fused_decode(1, True)
+            and dense_stream.fused_head_dim_ok(cfg.lm.head_dim)
+        )
+        self._abs_bpre = absorb_batch or batch_size
+        self._abs_plan = None        # built lazily from pixel geometry
+        self._abs_vp = None          # stacked ViT side params (device)
+        self._abs_xw = None          # active cycle's flat workspace
+        self._abs_done = 0           # absorbed steps this cycle
+        self._abs_rids: List[int] = []
+        self._abs_seen: set = set()  # rids encoded or in-flight
+        self._lat_pool: Dict[int, jax.Array] = {}
+        self.absorb_hits = 0         # admissions served from the pool
+        self.absorb_misses = 0       # admissions that re-ran the ViT
+        self._patch_jit = jax.jit(self._abs_patch_embed)
+        self._finish_jit = jax.jit(self._abs_finish)
+        self._prefill_lat_jit = jax.jit(self._prefill_latents)
+        self._chunk_abs_jit = jax.jit(
+            self._decode_chunk_absorb, donate_argnums=(0, 2),
+            static_argnames=("n_abs",),
+        )
+
     # --- jitted graphs ------------------------------------------------------
 
     def _fresh_state(self):
@@ -207,8 +238,22 @@ class ServingEngine:
         admission path (one vision+prefill forward for every free row —
         serialized 1-row prefills were the engine's dominant cost under
         churn, BASELINE.md round 4)."""
+        latents = self.model.apply(
+            params, vision_x, method=Flamingo.embed_vision
+        )
+        return self._prefill_tail(params, latents, ids, mask)
+
+    def _prefill_latents(self, params, latents, ids, mask):
+        """_prefill with the vision encode skipped: `latents` come from
+        the absorbed-ViT pre-encode pool (bitwise-equal to embed_vision
+        on the same pixels — models/absorb_vit.py), so admission tokens
+        are unchanged."""
+        return self._prefill_tail(
+            params, latents.astype(self.model.dtype), ids, mask
+        )
+
+    def _prefill_tail(self, params, latents, ids, mask):
         m = self.model
-        latents = m.apply(params, vision_x, method=Flamingo.embed_vision)
         cache = KVCache.create(
             m.cfg.lm, ids.shape[0], self.p_max, dtype=m.dtype,
             scan_groups=self._scan_groups, int8=self._int8_kv,
@@ -457,6 +502,176 @@ class ServingEngine:
         )
         return out, toks.T      # (B, chunk)
 
+    # --- absorbed-ViT pre-encode graphs --------------------------------------
+
+    def _abs_patch_embed(self, params, pixels):
+        """(b_pre*t*f, H, W, C) pixels -> the flat padded ViT workspace
+        the side schedule streams (absorb_vit.patch_embed_flat)."""
+        from .models.absorb_vit import patch_embed_flat
+
+        venc = params["params"]["vision_encoder"]
+        return patch_embed_flat(
+            self.model.cfg.vision, venc,
+            pixels.astype(self.model.dtype), self._abs_plan,
+            self.model.dtype,
+        )
+
+    def _abs_finish(self, params, xw):
+        """Workspace after the full cycle -> (b_pre, T_img, n_lat, D)
+        perceiver latents (finish_tokens + resample_vision — the same
+        back half flamingo_generate's absorbed path runs)."""
+        from .models.absorb_vit import finish_tokens
+
+        venc = params["params"]["vision_encoder"]
+        toks5 = finish_tokens(
+            self.model.cfg.vision, venc, xw, self._abs_plan
+        )
+        return self.model.apply(
+            params, toks5, method=Flamingo.resample_vision
+        )
+
+    def _decode_chunk_absorb(self, state, params, xw, vp_full, off,
+                             *, n_abs: int):
+        """_decode_chunk whose first n_abs steps each carry one macro
+        slice of the pre-encode cycle's ViT side schedule (n_abs is
+        static: at most two values compile — full chunks and the cycle
+        tail). Token semantics are BIT-IDENTICAL to _decode_chunk (side
+        tiles never touch the main kernels' outputs). Returns
+        (state, toks (B, chunk), new workspace)."""
+        from .quantize import activate_int4_stream
+
+        m, cfg, plan = self.model, self.gen, self._abs_plan
+        params = activate_int4_stream(params)
+        vp = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, off, n_abs, 0),
+            vp_full,
+        )
+
+        def make_body(absorb: bool):
+            def body(carry, xs):
+                logits, cache, finished, step, xw = carry
+                logits = _process_logits(logits, step[:, None], cfg)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if cfg.eos_token_id is not None:
+                    tok = jnp.where(finished, cfg.pad_token_id, tok)
+                    finished = finished | (tok == cfg.eos_token_id)
+                mask = jnp.ones((self.b, 1), jnp.int32)
+                cache = cache.replace(media=state["media"])
+                if absorb:
+                    new_logits, cache, xw = m.apply(
+                        params, state["latents"], tok[:, None], mask,
+                        cache, state["n_media"], xw, xs, plan,
+                        method=Flamingo.decode_step_absorb,
+                    )
+                else:
+                    new_logits, cache = m.apply(
+                        params, state["latents"], tok[:, None], mask,
+                        cache, state["n_media"],
+                        method=Flamingo.decode_step,
+                    )
+                cache = cache.replace(media=None)
+                return (
+                    new_logits[:, 0], cache, finished, step + 1, xw
+                ), tok
+            return body
+
+        init = (
+            state["logits"], state["cache"].replace(media=None),
+            state["finished"], state["step"], xw,
+        )
+        carry, toks = jax.lax.scan(make_body(True), init, vp, length=n_abs)
+        if n_abs < self.chunk:
+            carry, toks_b = jax.lax.scan(
+                make_body(False), carry, None, length=self.chunk - n_abs
+            )
+            toks = jnp.concatenate([toks, toks_b], axis=0)
+        logits, cache, finished, step, xw = carry
+        out = dict(
+            state, logits=logits, cache=cache, finished=finished, step=step
+        )
+        return out, toks.T, xw
+
+    # --- absorbed-ViT cycle bookkeeping (host) --------------------------------
+
+    def _abs_maybe_start(self):
+        """Open a pre-encode cycle over the next un-encoded queue-head
+        requests (patch-embed them into a fresh workspace). The first
+        cycle fixes the plan from the request pixel geometry; a geometry
+        the schedule can't carry turns the feature off (silent serial
+        fallback, same contract as flamingo_generate next_pixels=)."""
+        if not self._absorb_on or self._abs_xw is not None:
+            return
+        cands = [
+            r for r in self._queue if r.rid not in self._abs_seen
+        ][: self._abs_bpre]
+        if not cands:
+            return
+        if self._abs_plan is None:
+            from .models.absorb_vit import make_plan
+
+            f = int(cands[0].vision_x.shape[1])
+            plan = make_plan(
+                self.model.cfg, (self._abs_bpre, self.t_img, f),
+                max_new_tokens=10 ** 9,
+            )
+            if plan is None:
+                self._absorb_on = False
+                return
+            self._abs_plan = plan
+        if self._abs_vp is None:
+            from .models.absorb_vit import side_step_tree
+
+            self._abs_vp = side_step_tree(
+                self.params, self._abs_plan, self.model.dtype
+            )
+        p = self._abs_plan
+        px = np.zeros((p.b,) + cands[0].vision_x.shape, np.float32)
+        for i, r in enumerate(cands):
+            px[i] = r.vision_x
+            self._abs_seen.add(r.rid)
+        self._abs_rids = [r.rid for r in cands]
+        self._abs_done = 0
+        self._abs_xw = self._patch_jit(
+            self.params,
+            jnp.asarray(px.reshape((p.bv,) + px.shape[3:]),
+                        self.model.dtype),
+        )
+
+    def _abs_harvest_cycle(self):
+        """Finish a completed cycle: workspace -> perceiver latents,
+        one pool entry per still-pending rid."""
+        lat = self._finish_jit(self.params, self._abs_xw)
+        for i, rid in enumerate(self._abs_rids):
+            if rid not in self._abs_seen:
+                continue   # admitted mid-cycle via the pixel path
+            self._lat_pool[rid] = lat[i]
+        self._abs_xw = None
+        self._abs_done = 0
+        self._abs_rids = []
+
+    def _abs_pool_take(self, admits):
+        """{rid: (T_img, n_lat, D) latents} for an admission wave, or
+        None when any admitted rid lacks a pool entry (that wave then
+        re-runs the vision encode — all-or-nothing keeps the prefill
+        graphs static). Pool/cycle state for admitted rids is dropped
+        either way."""
+        if not self._absorb_on and not self._lat_pool:
+            return None
+        hit = bool(self._lat_pool) and all(
+            req.rid in self._lat_pool for _, req in admits
+        )
+        out = None
+        if hit:
+            out = {req.rid: self._lat_pool[req.rid] for _, req in admits}
+            self.absorb_hits += len(admits)
+        elif self._absorb_on:
+            self.absorb_misses += len(admits)
+        for _, req in admits:
+            self._lat_pool.pop(req.rid, None)
+            # mid-cycle admits: drop the harvest for this rid
+            self._abs_seen.discard(req.rid)
+        return out
+
     # --- host API ------------------------------------------------------------
 
     def submit(self, vision_x, input_ids, attention_mask=None,
@@ -487,17 +702,23 @@ class ServingEngine:
         ))
         return rid
 
-    def _admit_one(self, row: int, req: _Request):
+    def _admit_one(self, row: int, req: _Request, lat=None):
         # left-pad the prompt into the fixed (1, P_max) window
         p = req.input_ids.shape[0]
         ids = np.zeros((1, self.p_max), np.int32)
         mask = np.zeros((1, self.p_max), np.int32)
         ids[0, self.p_max - p:] = req.input_ids
         mask[0, self.p_max - p:] = req.attention_mask
-        vx = jnp.asarray(req.vision_x[None], self.model.dtype)
-        logits, layers, media, latents, pad = self._prefill_jit(
-            self.params, vx, jnp.asarray(ids), jnp.asarray(mask)
-        )
+        if lat is not None:   # pre-encoded latents from the absorb pool
+            logits, layers, media, latents, pad = self._prefill_lat_jit(
+                self.params, lat[req.rid][None],
+                jnp.asarray(ids), jnp.asarray(mask),
+            )
+        else:
+            vx = jnp.asarray(req.vision_x[None], self.model.dtype)
+            logits, layers, media, latents, pad = self._prefill_jit(
+                self.params, vx, jnp.asarray(ids), jnp.asarray(mask)
+            )
         pad_row = pad[0]
         if self._state["media"] is None and media is not None:
             # first admission shapes the engine media/latent containers
@@ -539,25 +760,41 @@ class ServingEngine:
             t_submit=req.t_submit,
         )
 
-    def _admit_many(self, admits):
+    def _admit_many(self, admits, lat=None):
         """Admit several requests in ONE B-row prefill + ONE merge call.
         admits: list of (row, _Request). Dummy rows prefill zeros and
-        are masked out of the merge."""
+        are masked out of the merge. `lat` ({rid: latents row}) routes
+        the wave through the vision-skipping prefill graph."""
         first_vx = admits[0][1].vision_x
         ids = np.zeros((self.b, self.p_max), np.int32)
         mask = np.zeros((self.b, self.p_max), np.int32)
         vx = np.zeros((self.b,) + first_vx.shape, np.float32)
         admit_mask = np.zeros((self.b,), bool)
+        row_rid = {}
         for row, req in admits:
             p = req.input_ids.shape[0]
             ids[row, self.p_max - p:] = req.input_ids
             mask[row, self.p_max - p:] = req.attention_mask
             vx[row] = req.vision_x
             admit_mask[row] = True
-        logits, layers, media, latents, pad = self._prefill_jit(
-            self.params, jnp.asarray(vx, self.model.dtype),
-            jnp.asarray(ids), jnp.asarray(mask),
-        )
+            row_rid[row] = req.rid
+        if lat is not None:   # pre-encoded latents from the absorb pool
+            zero = jnp.zeros_like(next(iter(lat.values())))
+            lat_b = jnp.stack(
+                [
+                    lat[row_rid[r]] if r in row_rid else zero
+                    for r in range(self.b)
+                ],
+                axis=0,
+            )
+            logits, layers, media, latents, pad = self._prefill_lat_jit(
+                self.params, lat_b, jnp.asarray(ids), jnp.asarray(mask),
+            )
+        else:
+            logits, layers, media, latents, pad = self._prefill_jit(
+                self.params, jnp.asarray(vx, self.model.dtype),
+                jnp.asarray(ids), jnp.asarray(mask),
+            )
         if self._state["media"] is None and media is not None:
             # batched prefill outputs are already B-row: containers are
             # zero copies of them (scales fill 1)
@@ -682,10 +919,12 @@ class ServingEngine:
                         self._draining = True
                         break
                     admits.append((row, self._queue.popleft()))
-            if len(admits) == 1:
-                self._admit_one(*admits[0])
-            elif admits:
-                self._admit_many(admits)
+            if admits:
+                lat = self._abs_pool_take(admits)
+                if len(admits) == 1:
+                    self._admit_one(*admits[0], lat=lat)
+                else:
+                    self._admit_many(admits, lat=lat)
         if all(r is None for r in self._rows) and not self._pending:
             if self._queue:
                 self._draining = True   # nothing live: reset next step
@@ -705,7 +944,20 @@ class ServingEngine:
         assert self._idx + self.chunk <= self.s_max, (
             "engine invariant: live rows always fit (admission horizon)"
         )
-        self._state, toks = self._chunk_jit(self._state, self.params)
+        self._abs_maybe_start()
+        if self._abs_xw is not None:
+            n_abs = min(
+                self.chunk, self._abs_plan.n_steps - self._abs_done
+            )
+            self._state, toks, self._abs_xw = self._chunk_abs_jit(
+                self._state, self.params, self._abs_xw, self._abs_vp,
+                jnp.asarray(self._abs_done, jnp.int32), n_abs=n_abs,
+            )
+            self._abs_done += n_abs
+            if self._abs_done >= self._abs_plan.n_steps:
+                self._abs_harvest_cycle()
+        else:
+            self._state, toks = self._chunk_jit(self._state, self.params)
         self._pending.append((toks, list(self._rows)))
         self._idx += self.chunk
         # deterministic horizon re-tenancy: once the slot index reaches

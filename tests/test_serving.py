@@ -317,3 +317,79 @@ def test_serving_int8_kv_matches_generate_int8(rng, monkeypatch):
     assert eng._state["cache"].layers[0].k.dtype == jnp.int8
     for i, rid in enumerate(rids):
         np.testing.assert_array_equal(res[rid], want_all[i])
+
+
+@pytest.mark.parametrize("chunk", [2, 3])
+def test_serving_absorb_vision_exact(rng, monkeypatch, chunk):
+    """absorb_vision=True: queued requests' ViT rides the decode chunks
+    as side tiles (cycles span chunk boundaries; chunk=3 exercises the
+    tail graph where n_abs < chunk), admissions consume the pooled
+    latents through the vision-skipping prefill — tokens must EXACTLY
+    match flamingo_generate per request, and the pool must actually
+    serve admissions (hits > 0)."""
+    import dataclasses as dc
+
+    from open_flamingo_tpu.models.decoders.common import DecoderConfig
+    from open_flamingo_tpu.models.flamingo import (
+        Flamingo,
+        FlamingoConfig,
+    )
+    from open_flamingo_tpu.models.vit import VisionConfig
+    from open_flamingo_tpu.ops import dense_stream, vit_attention
+    from test_flamingo import EOC, MEDIA, VOCAB
+
+    # geometry the absorb schedule carries (tests/test_absorb_vit.py
+    # notes): slots/layer 8, macro 4 <= g 4; 4 ViT layers, per_step 1
+    # -> a 4-step cycle spanning multiple chunks
+    vis = VisionConfig(
+        image_size=16, patch_size=8, hidden_size=32, num_layers=4,
+        num_heads=2, intermediate_size=64,
+    )
+    lm = DecoderConfig(
+        family="mpt", vocab_size=VOCAB, hidden_size=32, num_layers=4,
+        num_heads=4, intermediate_size=64, alibi=True,
+        attention_bias=False, ln_no_bias=True,
+    )
+    cfg = FlamingoConfig(
+        vision=vis, lm=lm, media_token_id=MEDIA, eoc_token_id=EOC,
+        cross_attn_every_n=1, num_vis_latents=4, perceiver_depth=1,
+        perceiver_heads=2, perceiver_dim_head=8, scan_layers=True,
+    )
+    model = Flamingo(cfg=cfg)
+    media_id = cfg.media_token_id
+    reqs = []
+    for _ in range(6):
+        p = int(rng.integers(6, 17))
+        ids = rng.integers(10, 40, size=(p,)).astype(np.int32)
+        ids[0] = media_id
+        vx = rng.normal(size=(1, 1, 16, 16, 3)).astype(np.float32)
+        reqs.append((vx, ids))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(reqs[0][0][None], jnp.float32),
+        jnp.asarray(reqs[0][1][None]),
+        jnp.ones((1, len(reqs[0][1])), jnp.int32),
+    )
+
+    monkeypatch.setattr(dense_stream, "FORCE_FUSED", True)
+    monkeypatch.setattr(dense_stream, "INTERPRET", True)
+    monkeypatch.setattr(vit_attention, "INTERPRET", True)
+
+    want = _reference(model, params, reqs, max_new=4)
+    eng = ServingEngine(
+        model, params, batch_size=2, max_seq_len=96, max_prompt_len=16,
+        chunk_tokens=chunk,
+        gen=GenerationConfig(max_new_tokens=0, pad_token_id=0,
+                             eos_token_id=-1),
+        absorb_vision=True, absorb_batch=2,
+    )
+    assert eng._absorb_on
+    rids = [eng.submit(vx, ids, max_new_tokens=4) for vx, ids in reqs]
+    res = eng.run()
+    assert set(res) == set(rids)
+    for rid, w in zip(rids, want):
+        _check(res[rid], w, eos=-1)
+    # the pre-encode pool actually served admissions and the plan
+    # engaged (not the serial fallback)
+    assert eng._abs_plan is not None and eng._abs_plan.n_steps == 4
+    assert eng.absorb_hits > 0
