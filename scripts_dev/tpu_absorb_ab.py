@@ -95,6 +95,14 @@ ARMS = {
     # the extra cache stream — does absorption still pay?
     "bf16_b64": (False, 64, False),
     "int4w8a8_b64": (True, 64, False),
+    # round-5 fourth wave: does the ladder really flatten past B=64?
+    # The close-out predicted it from the serial Amdahl share (~48%
+    # vision+prefill), but absorption hides the ViT half of that —
+    # measure B=128 in both regimes before trusting the prediction.
+    # Memory: KV cache 24L x 2 x 128 x 64 x 2048 bf16 ~= 1.6 GiB on
+    # top of the ~2.8 GiB params — fits the 16 GiB chip.
+    "bf16_b128": (False, 128, False),
+    "int4w8a8_b128": (True, 128, False),
 }
 sel = [a for a in sys.argv[1:] if a in ARMS] or list(ARMS)
 
